@@ -1,0 +1,224 @@
+"""HBM-resident chunk store: a slab of embeddings plus host-side metadata.
+
+The reference keeps chunks in a HashMap<String, DocumentChunk> with the
+embedding inside each entry (rag_engine.rs:104-113). Mutable hash maps do not
+exist on a TPU; instead the store is a slab design (SURVEY.md §7 "Mutable
+index vs. immutable device arrays"):
+
+  * device: a preallocated [capacity, D] embedding matrix and a [capacity]
+    validity mask, both jax Arrays. Appends are dynamic-update-slices; a
+    document replacement frees its slots (mask clear + free list) and new
+    chunks refill holes. Capacity doubles on demand.
+  * host: per-slot metadata (chunk id, document, text, page, section, chunk
+    metadata) plus an id -> slot map, and a NumPy mirror of the embeddings
+    for persistence.
+
+Search ops read `corpus()` / `valid_mask()` directly from HBM — no
+per-candidate host access ever happens on the query path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class ChunkMeta:
+    """Host-side chunk record (device holds only the embedding row).
+
+    Field names mirror the reference's DocumentChunk (rag_engine.rs:46-59)
+    minus `embedding`, which lives in the slab.
+    """
+
+    id: str
+    document_name: str
+    text: str
+    chunk_index: int
+    page_number: int = 0
+    section: Optional[str] = None
+    metadata: dict = field(default_factory=dict)
+
+
+class ChunkStore:
+    def __init__(self, dim: int, dtype=jnp.float32, initial_capacity: int = 1024):
+        self.dim = int(dim)
+        self.dtype = dtype
+        self._capacity = int(initial_capacity)
+        self._emb = jnp.zeros((self._capacity, self.dim), dtype=dtype)
+        self._mask = jnp.zeros((self._capacity,), dtype=bool)
+        self._host_emb = np.zeros((self._capacity, self.dim), dtype=np.float32)
+        self._meta: List[Optional[ChunkMeta]] = [None] * self._capacity
+        self._id_to_slot: Dict[str, int] = {}
+        self._free: List[int] = []
+        self._high_water = 0  # slots [0, high_water) may be valid
+
+    # ----- introspection -------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._id_to_slot)
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    @property
+    def high_water(self) -> int:
+        return self._high_water
+
+    def corpus(self) -> jax.Array:
+        """[capacity, D] device matrix (rows beyond the mask are garbage)."""
+        return self._emb
+
+    def valid_mask(self) -> jax.Array:
+        """[capacity] device bool mask of live slots."""
+        return self._mask
+
+    def meta_for_slot(self, slot: int) -> ChunkMeta:
+        m = self._meta[slot]
+        if m is None:
+            raise KeyError(f"slot {slot} is empty")
+        return m
+
+    def slot_for_id(self, chunk_id: str) -> int:
+        return self._id_to_slot[chunk_id]
+
+    def contains(self, chunk_id: str) -> bool:
+        return chunk_id in self._id_to_slot
+
+    def chunk_ids(self) -> List[str]:
+        return list(self._id_to_slot.keys())
+
+    def iter_meta(self):
+        for slot in self._id_to_slot.values():
+            yield slot, self._meta[slot]
+
+    def document_names(self) -> List[str]:
+        """Sorted unique document names (rag_engine.rs:850-859)."""
+        return sorted({m.document_name for _, m in self.iter_meta()})
+
+    def embedding_for_slot(self, slot: int) -> np.ndarray:
+        return self._host_emb[slot]
+
+    # ----- mutation -------------------------------------------------------
+
+    def _grow(self, min_capacity: int) -> None:
+        new_cap = self._capacity
+        while new_cap < min_capacity:
+            new_cap *= 2
+        if new_cap == self._capacity:
+            return
+        pad = new_cap - self._capacity
+        self._emb = jnp.concatenate(
+            [self._emb, jnp.zeros((pad, self.dim), dtype=self.dtype)], axis=0
+        )
+        self._mask = jnp.concatenate(
+            [self._mask, jnp.zeros((pad,), dtype=bool)], axis=0
+        )
+        self._host_emb = np.concatenate(
+            [self._host_emb, np.zeros((pad, self.dim), dtype=np.float32)], axis=0
+        )
+        self._meta.extend([None] * pad)
+        self._capacity = new_cap
+
+    def _alloc_slots(self, n: int) -> List[int]:
+        slots: List[int] = []
+        while self._free and len(slots) < n:
+            slots.append(self._free.pop())
+        remaining = n - len(slots)
+        if remaining:
+            if self._high_water + remaining > self._capacity:
+                self._grow(self._high_water + remaining)
+            slots.extend(range(self._high_water, self._high_water + remaining))
+            self._high_water += remaining
+        return slots
+
+    def add_chunks(
+        self, metas: Sequence[ChunkMeta], embeddings: np.ndarray
+    ) -> List[int]:
+        """Insert chunks (embeddings already unit-normalized). Returns slots."""
+        if len(metas) != embeddings.shape[0]:
+            raise ValueError("metas/embeddings length mismatch")
+        if embeddings.shape[1] != self.dim:
+            raise ValueError(
+                f"embedding dim {embeddings.shape[1]} != store dim {self.dim}"
+            )
+        for m in metas:
+            if m.id in self._id_to_slot:
+                raise ValueError(f"duplicate chunk id {m.id}")
+
+        slots = self._alloc_slots(len(metas))
+        emb32 = np.asarray(embeddings, dtype=np.float32)
+        for i, (slot, meta) in enumerate(zip(slots, metas)):
+            self._meta[slot] = meta
+            self._id_to_slot[meta.id] = slot
+            self._host_emb[slot] = emb32[i]
+
+        slot_idx = jnp.asarray(np.asarray(slots, dtype=np.int32))
+        self._emb = self._emb.at[slot_idx].set(
+            jnp.asarray(emb32, dtype=self.dtype)
+        )
+        self._mask = self._mask.at[slot_idx].set(True)
+        return slots
+
+    def remove_document(self, document_name: str) -> int:
+        """Free every chunk of a document (reference's retain(..) at
+        rag_engine.rs:347-348). Returns number of chunks removed."""
+        doomed = [
+            slot
+            for slot, meta in list(self.iter_meta())
+            if meta.document_name == document_name
+        ]
+        return self._remove_slots(doomed)
+
+    def remove_ids(self, chunk_ids: Sequence[str]) -> int:
+        doomed = [self._id_to_slot[c] for c in chunk_ids if c in self._id_to_slot]
+        return self._remove_slots(doomed)
+
+    def _remove_slots(self, slots: List[int]) -> int:
+        if not slots:
+            return 0
+        for slot in slots:
+            meta = self._meta[slot]
+            if meta is not None:
+                del self._id_to_slot[meta.id]
+            self._meta[slot] = None
+            self._free.append(slot)
+        slot_idx = jnp.asarray(np.asarray(slots, dtype=np.int32))
+        self._mask = self._mask.at[slot_idx].set(False)
+        return len(slots)
+
+    def compact(self) -> None:
+        """Repack live slots to the front (periodic maintenance)."""
+        live = sorted(self._id_to_slot.values())
+        n = len(live)
+        new_host = np.zeros_like(self._host_emb)
+        new_meta: List[Optional[ChunkMeta]] = [None] * self._capacity
+        id_to_slot: Dict[str, int] = {}
+        for new_slot, old_slot in enumerate(live):
+            new_host[new_slot] = self._host_emb[old_slot]
+            meta = self._meta[old_slot]
+            new_meta[new_slot] = meta
+            id_to_slot[meta.id] = new_slot
+        self._host_emb = new_host
+        self._meta = new_meta
+        self._id_to_slot = id_to_slot
+        self._free = []
+        self._high_water = n
+        self._emb = jnp.asarray(new_host, dtype=self.dtype)
+        mask = np.zeros((self._capacity,), dtype=bool)
+        mask[:n] = True
+        self._mask = jnp.asarray(mask)
+
+    # ----- persistence helpers -------------------------------------------
+
+    def snapshot_host(self):
+        """(embeddings [n, D] f32, metas) for live chunks, slot-ordered."""
+        live = sorted(self._id_to_slot.values())
+        emb = self._host_emb[live] if live else np.zeros((0, self.dim), np.float32)
+        metas = [self._meta[s] for s in live]
+        return emb, metas

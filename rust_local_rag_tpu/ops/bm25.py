@@ -1,0 +1,162 @@
+"""BM25 lexical index — host-side inverted index, device-blendable output.
+
+Mirrors the reference's LexicalIndex (rag_engine.rs:2083-2237) exactly:
+  * tokenize: split on non-alphanumeric, keep tokens with >= 3 chars,
+    lowercase (rag_engine.rs:2242-2247). NOTE the reference filters on BYTE
+    length before lowercasing; we match that by filtering on the raw token's
+    UTF-8 byte length.
+  * BM25 with k1 = 1.5, b = 0.75 (rag_engine.rs:2190-2191)
+  * idf = max(ln((N - df + 0.5) / (df + 0.5)), 0) (rag_engine.rs:2197-2199)
+  * score = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    (rag_engine.rs:2208-2213)
+
+Sparse scoring stays on host (a few thousand postings per query); the engine
+scatters the top-`limit` scores into a dense slot-aligned vector that rides
+into the device blend kernel (SURVEY.md §7 "BM25 blending").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, List, Set, Tuple
+
+
+def tokenize(text: str) -> List[str]:
+    """Lowercased unicode-alphanumeric tokens with raw length >= 3 chars.
+
+    Matches rag_engine.rs:2242-2247 (`token.len() >= 3` is a byte-length
+    check in Rust; for ASCII corpora this equals the char count, and for
+    multibyte text the byte check is reproduced here).
+    """
+    out: List[str] = []
+    cur: List[str] = []
+    for ch in text:
+        if ch.isalnum():
+            cur.append(ch)
+        else:
+            if cur:
+                tok = "".join(cur)
+                if len(tok.encode("utf-8")) >= 3:
+                    out.append(tok.lower())
+                cur = []
+    if cur:
+        tok = "".join(cur)
+        if len(tok.encode("utf-8")) >= 3:
+            out.append(tok.lower())
+    return out
+
+
+class LexicalIndex:
+    """In-memory inverted index with BM25 scoring (reference-parity)."""
+
+    K1 = 1.5
+    B = 0.75
+
+    def __init__(self) -> None:
+        self.term_postings: Dict[str, Dict[str, int]] = {}
+        self.doc_lengths: Dict[str, int] = {}
+        self.doc_terms: Dict[str, Dict[str, int]] = {}
+        self.total_docs = 0
+        self.total_length = 0
+
+    def clear(self) -> None:
+        self.term_postings.clear()
+        self.doc_lengths.clear()
+        self.doc_terms.clear()
+        self.total_docs = 0
+        self.total_length = 0
+
+    def add_chunk(self, chunk_id: str, text: str) -> None:
+        if chunk_id in self.doc_terms:
+            self.remove_chunk(chunk_id)
+
+        tokens = tokenize(text)
+        if not tokens:
+            return
+
+        term_counts: Dict[str, int] = {}
+        for tok in tokens:
+            term_counts[tok] = term_counts.get(tok, 0) + 1
+
+        doc_length = sum(term_counts.values())
+        if doc_length == 0:
+            return
+
+        for term, count in term_counts.items():
+            self.term_postings.setdefault(term, {})[chunk_id] = count
+
+        self.doc_lengths[chunk_id] = doc_length
+        self.doc_terms[chunk_id] = term_counts
+        self.total_docs += 1
+        self.total_length += doc_length
+
+    def remove_chunk(self, chunk_id: str) -> None:
+        term_counts = self.doc_terms.pop(chunk_id, None)
+        if term_counts is not None:
+            for term in term_counts:
+                postings = self.term_postings.get(term)
+                if postings is not None:
+                    postings.pop(chunk_id, None)
+                    if not postings:
+                        del self.term_postings[term]
+            length = self.doc_lengths.pop(chunk_id, None)
+            if length is not None:
+                self.total_length = max(0, self.total_length - length)
+            if self.total_docs > 0:
+                self.total_docs -= 1
+        else:
+            self.doc_lengths.pop(chunk_id, None)
+
+        if self.total_docs == 0:
+            self.total_length = 0
+
+    def score(self, query: str, limit: int) -> List[Tuple[str, float]]:
+        """Top-`limit` (chunk_id, bm25) pairs, descending (ties arbitrary,
+        as in the reference's HashMap-order sort)."""
+        if self.total_docs == 0:
+            return []
+
+        tokens = tokenize(query)
+        if not tokens:
+            return []
+
+        unique_terms: Set[str] = set(tokens)
+        avg_doc_len = (
+            self.total_length / self.total_docs if self.total_docs else 0.0
+        )
+
+        scores: Dict[str, float] = {}
+        for term in unique_terms:
+            postings = self.term_postings.get(term)
+            if not postings:
+                continue
+            df = float(len(postings))
+            idf = max(
+                math.log((self.total_docs - df + 0.5) / (df + 0.5)), 0.0
+            )
+            for doc_id, term_freq in postings.items():
+                doc_length = float(self.doc_lengths.get(doc_id, 0))
+                if doc_length == 0.0:
+                    continue
+                tf = float(term_freq)
+                denom = tf + self.K1 * (
+                    1.0 - self.B + self.B * (doc_length / avg_doc_len)
+                )
+                if denom == 0.0:
+                    continue
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * (
+                    tf * (self.K1 + 1.0)
+                ) / denom
+
+        results = sorted(scores.items(), key=lambda kv: -kv[1])
+        if limit > 0 and len(results) > limit:
+            results = results[:limit]
+        return results
+
+    def contains(self, chunk_id: str) -> bool:
+        return chunk_id in self.doc_terms
+
+    def drop_stale(self, valid_ids: Set[str] | Iterable[str]) -> None:
+        valid = set(valid_ids)
+        for stale in [cid for cid in self.doc_terms if cid not in valid]:
+            self.remove_chunk(stale)
