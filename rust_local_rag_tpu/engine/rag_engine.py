@@ -1,0 +1,541 @@
+"""RagEngine — the retrieval core, TPU-native.
+
+Behavioral contract mirrored from the reference's RagEngine
+(rag_engine.rs:104-1714): the same two-stage search (hybrid dense+lexical
+first stage, optional LLM rerank blend), the same MMR diversification entry
+point, the same ingest flow (hash skip, extract, chunk, batch-embed,
+replace-document, validate, persist), the same stats/persistence semantics.
+
+What is different is WHERE the math runs: the chunk corpus is a device slab
+(ChunkStore), first-stage scoring + top-k is one fused device program
+(ops/hybrid.py), MMR runs as a device loop (ops/mmr.py), and reranking is a
+single batched device forward (models/reranker.py) instead of N sequential
+HTTP calls.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from rust_local_rag_tpu.config import QueryWeights, ResolvedWeights
+from rust_local_rag_tpu.engine.chunk_store import ChunkMeta, ChunkStore
+from rust_local_rag_tpu.engine import persistence
+from rust_local_rag_tpu.ingest import chunk_text as chunk_text_fn
+from rust_local_rag_tpu.ingest.pdf import extract_pdf_text
+from rust_local_rag_tpu.models.embedding_service import EmbeddingService
+from rust_local_rag_tpu.models.reranker_service import (
+    RerankerCandidate,
+    RerankerService,
+)
+from rust_local_rag_tpu.ops.bm25 import LexicalIndex
+from rust_local_rag_tpu.ops.hybrid import hybrid_topk
+from rust_local_rag_tpu.ops.mmr import mmr_select
+
+logger = logging.getLogger(__name__)
+
+F32_EPSILON = 1.1920929e-07
+MIN_CHUNK_CHARS = 10  # rag_engine.rs:248-258
+CHUNK_TOKEN_BUDGET = 200  # rag_engine.rs:245
+
+
+@dataclass
+class SearchResult:
+    """Mirror of rag_engine.rs:72-100 (serde skips None fields)."""
+
+    text: str
+    score: float
+    document: str
+    chunk_id: str
+    chunk_index: int
+    page_number: int
+    section: Optional[str] = None
+    embedding_score: Optional[float] = None
+    lexical_score: Optional[float] = None
+    initial_score: Optional[float] = None
+    reranker_score: Optional[float] = None
+    yes_logprob: Optional[float] = None
+    no_logprob: Optional[float] = None
+
+    def to_dict(self) -> dict:
+        d = {
+            "text": self.text,
+            "score": self.score,
+            "document": self.document,
+            "chunk_id": self.chunk_id,
+            "chunk_index": self.chunk_index,
+            "page_number": self.page_number,
+            "section": self.section,
+        }
+        for k in (
+            "embedding_score",
+            "lexical_score",
+            "initial_score",
+            "reranker_score",
+            "yes_logprob",
+            "no_logprob",
+        ):
+            v = getattr(self, k)
+            if v is not None:
+                d[k] = v
+        return d
+
+
+def _normalize_vec(v: np.ndarray) -> np.ndarray:
+    """rag_engine.rs:1763-1771"""
+    v = np.asarray(v, dtype=np.float32)
+    norm_sq = float(np.sum(v * v))
+    if norm_sq > 1e-20:
+        return v / np.float32(np.sqrt(norm_sq))
+    return v
+
+
+class RagEngine:
+    def __init__(
+        self,
+        data_dir: str,
+        embedding_service: EmbeddingService,
+        reranker: Optional[RerankerService] = None,
+        corpus_dtype=jnp.float32,
+    ):
+        self.data_dir = data_dir
+        self.embedding_service = embedding_service
+        self.reranker = reranker
+        self._corpus_dtype = corpus_dtype
+        self.store = ChunkStore(dim=embedding_service.dim, dtype=corpus_dtype)
+        self.lexical_index = LexicalIndex()
+        self.document_hashes: Dict[str, str] = {}
+        self._needs_reindex = False
+        self.load_from_disk()
+
+    # ----- lifecycle -------------------------------------------------------
+
+    @classmethod
+    def create(cls, data_dir: str) -> "RagEngine":
+        """Wire up the configured services (main.rs:158 equivalent).
+        Reranker init failure is non-fatal (rag_engine.rs:164-176)."""
+        from rust_local_rag_tpu.models.embedding_service import (
+            build_default_service,
+        )
+        from rust_local_rag_tpu.models.reranker_service import (
+            build_default_reranker,
+        )
+
+        svc = build_default_service()
+        svc.verify()
+        return cls(data_dir, svc, build_default_reranker())
+
+    def needs_reindex(self) -> bool:
+        return self._needs_reindex
+
+    def embedding_model(self) -> str:
+        return self.embedding_service.model_name
+
+    def has_reranker(self) -> bool:
+        return self.reranker is not None
+
+    def get_reranker(self) -> Optional[RerankerService]:
+        return self.reranker
+
+    def finalize_reindex(self) -> None:
+        """rag_engine.rs:204-215"""
+        if self._needs_reindex:
+            self._needs_reindex = False
+            self.save_to_disk()
+            logger.info(
+                "Reindexing complete. Indexed %d chunks across %d documents.",
+                len(self.store),
+                len(self.list_documents()),
+            )
+
+    # ----- ingest -----------------------------------------------------------
+
+    @staticmethod
+    def compute_document_hash(data: bytes) -> str:
+        """SHA-256 hex fingerprint (rag_engine.rs:1711-1714)."""
+        return hashlib.sha256(data).hexdigest()
+
+    def add_document(
+        self, filename: str, data: bytes, batch_callback=None
+    ) -> int:
+        """Extract, chunk, embed and index one document. Returns the number
+        of chunks created, 0 when unchanged (rag_engine.rs:219-402)."""
+        logger.info("Processing document: %s", filename)
+
+        document_hash = self.compute_document_hash(data)
+        existing = self.document_hashes.get(filename)
+        if existing == document_hash:
+            logger.info(
+                "Document %s unchanged since last index. Skipping re-embedding.",
+                filename,
+            )
+            return 0
+        if existing is not None:
+            logger.info("Document %s has changed. Refreshing embeddings.", filename)
+
+        text = extract_pdf_text(data)
+        if not text.strip():
+            raise ValueError("No text extracted from PDF")
+
+        fragments = chunk_text_fn(text, CHUNK_TOKEN_BUDGET)
+        logger.info("Created %d chunks for %s", len(fragments), filename)
+
+        kept = [
+            (i, frag)
+            for i, frag in enumerate(fragments)
+            if len(frag.text.strip()) >= MIN_CHUNK_CHARS
+        ]
+        if not kept:
+            logger.warning(
+                "Document %s produced no sizeable chunks after filtering. "
+                "Removing any cached chunks for this file.",
+                filename,
+            )
+            self._remove_document_chunks(filename)
+            self.document_hashes[filename] = document_hash
+            self.save_to_disk()
+            return 0
+
+        texts = [frag.text for _, frag in kept]
+        embeddings = self.embedding_service.embed_in_batches(
+            texts, batch_callback=batch_callback
+        )
+        if embeddings.shape[0] != len(kept):
+            raise RuntimeError(
+                f"Total embeddings mismatch: received {embeddings.shape[0]} "
+                f"embeddings for {len(kept)} chunks in {filename}"
+            )
+
+        # replace-document semantics (rag_engine.rs:347-348)
+        self._remove_document_chunks(filename)
+
+        metas: List[ChunkMeta] = []
+        rows: List[np.ndarray] = []
+        for (i, frag), emb in zip(kept, embeddings):
+            metas.append(
+                ChunkMeta(
+                    id=str(uuid.uuid4()),
+                    document_name=filename,
+                    text=frag.text,
+                    chunk_index=i,
+                    page_number=frag.page_number,
+                    section=frag.section,
+                    metadata=frag.metadata,
+                )
+            )
+            rows.append(_normalize_vec(emb))
+
+        self.store.add_chunks(metas, np.stack(rows))
+        for m in metas:
+            self.lexical_index.add_chunk(m.id, m.text)
+
+        self.document_hashes[filename] = document_hash
+        self.validate_index_sync()
+        self.save_to_disk()
+
+        logger.info("Successfully processed %d chunks for %s", len(metas), filename)
+        return len(metas)
+
+    def _remove_document_chunks(self, filename: str) -> None:
+        removed_ids = [
+            m.id for _, m in self.store.iter_meta() if m.document_name == filename
+        ]
+        self.store.remove_ids(removed_ids)
+        for cid in removed_ids:
+            self.lexical_index.remove_chunk(cid)
+
+    def validate_index_sync(self) -> None:
+        """Keep the lexical index and document hashes consistent with the
+        store (rag_engine.rs:1375-1425)."""
+        valid_ids = set(self.store.chunk_ids())
+        self.lexical_index.drop_stale(valid_ids)
+        for slot, meta in self.store.iter_meta():
+            if not self.lexical_index.contains(meta.id):
+                logger.debug("Re-adding missing chunk %s to lexical index", meta.id)
+                self.lexical_index.add_chunk(meta.id, meta.text)
+        valid_docs = {m.document_name for _, m in self.store.iter_meta()}
+        for doc in [d for d in self.document_hashes if d not in valid_docs]:
+            logger.debug("Removing orphaned document hash for %s", doc)
+            del self.document_hashes[doc]
+
+    # ----- search -----------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        top_k: int,
+        weights: Optional[QueryWeights] = None,
+    ) -> List[SearchResult]:
+        """Two-stage retrieval (rag_engine.rs:470-701)."""
+        if len(self.store) == 0:
+            return []
+
+        resolved = ResolvedWeights.from_query_weights(weights)
+        top_k = max(top_k, 1)
+
+        q_emb = _normalize_vec(
+            self.embedding_service.get_query_embedding(query)
+        )
+
+        # Lexical candidates: top (top_k * 5) like the reference
+        # (rag_engine.rs:505), scattered to a slot-aligned dense vector so
+        # chunks outside the lexical top list contribute 0 to the blend.
+        lex_pairs = self.lexical_index.score(query, top_k * 5)
+        capacity = self.store.capacity
+        lex_dense = np.zeros((1, capacity), dtype=np.float32)
+        for cid, s in lex_pairs:
+            if self.store.contains(cid):
+                lex_dense[0, self.store.slot_for_id(cid)] = s
+
+        initial_k = min(len(self.store), max(top_k * 3, top_k))
+
+        vals, emb_k, lex_k, idx = hybrid_topk(
+            jnp.asarray(q_emb[None, :]),
+            self.store.corpus(),
+            self.store.valid_mask(),
+            jnp.asarray(lex_dense),
+            jnp.float32(resolved.embedding),
+            jnp.float32(resolved.lexical),
+            initial_k,
+        )
+        vals = np.asarray(vals)[0]
+        emb_k = np.asarray(emb_k)[0]
+        lex_k = np.asarray(lex_k)[0]
+        idx = np.asarray(idx)[0]
+
+        candidates: List[dict] = []
+        for rank in range(len(idx)):
+            slot = int(idx[rank])
+            if slot < 0 or not np.isfinite(vals[rank]):
+                continue
+            meta = self.store.meta_for_slot(slot)
+            candidates.append(
+                {
+                    "slot": slot,
+                    "meta": meta,
+                    "initial_score": float(vals[rank]),
+                    "embedding_score": float(emb_k[rank]),
+                    "lexical_score": float(lex_k[rank]),
+                }
+            )
+        if not candidates:
+            return []
+
+        reranked = []
+        if self.reranker is not None:
+            rr_inputs = [
+                RerankerCandidate(
+                    chunk_id=c["meta"].id,
+                    document=c["meta"].document_name,
+                    text=c["meta"].text,
+                    page_number=c["meta"].page_number,
+                    section=c["meta"].section,
+                    initial_score=c["initial_score"],
+                )
+                for c in candidates
+            ]
+            try:
+                reranked = self.reranker.rerank(query, rr_inputs)
+            except Exception as e:  # noqa: BLE001
+                logger.warning(
+                    "Reranker failed, falling back to embedding scores: %s", e
+                )
+                reranked = []
+
+        by_id = {c["meta"].id: c for c in candidates}
+        ordered: List[SearchResult] = []
+        seen: set = set()
+
+        if reranked:
+            # per-query max normalization + blend (rag_engine.rs:602-665)
+            max_rr = max(max((r.relevance for r in reranked), default=0.0), F32_EPSILON)
+            max_init = max(
+                max((c["initial_score"] for c in candidates), default=0.0),
+                F32_EPSILON,
+            )
+            for r in reranked:
+                c = by_id.get(r.chunk_id)
+                if c is None or r.chunk_id in seen:
+                    continue
+                seen.add(r.chunk_id)
+                blended = (
+                    resolved.reranker * (r.relevance / max_rr)
+                    + resolved.initial * (c["initial_score"] / max_init)
+                )
+                m = c["meta"]
+                ordered.append(
+                    SearchResult(
+                        text=m.text,
+                        score=blended,
+                        document=m.document_name,
+                        chunk_id=m.id,
+                        chunk_index=m.chunk_index,
+                        page_number=m.page_number,
+                        section=m.section,
+                        embedding_score=c["embedding_score"],
+                        lexical_score=c["lexical_score"],
+                        initial_score=c["initial_score"],
+                        reranker_score=r.relevance,
+                        yes_logprob=r.yes_logprob,
+                        no_logprob=r.no_logprob,
+                    )
+                )
+            ordered.sort(key=lambda r: -r.score)
+            ordered = ordered[:top_k]
+
+        if len(ordered) < top_k:
+            # fallback fill from initial scores (rag_engine.rs:667-698)
+            fallback = sorted(candidates, key=lambda c: -c["initial_score"])
+            for c in fallback:
+                if len(ordered) == top_k:
+                    break
+                m = c["meta"]
+                if m.id in seen:
+                    continue
+                seen.add(m.id)
+                ordered.append(
+                    SearchResult(
+                        text=m.text,
+                        score=c["initial_score"],
+                        document=m.document_name,
+                        chunk_id=m.id,
+                        chunk_index=m.chunk_index,
+                        page_number=m.page_number,
+                        section=m.section,
+                        embedding_score=c["embedding_score"],
+                        lexical_score=c["lexical_score"],
+                        initial_score=c["initial_score"],
+                    )
+                )
+        return ordered
+
+    def search_with_diversity(
+        self,
+        query: str,
+        top_k: int,
+        diversity_factor: float,
+        weights: Optional[QueryWeights] = None,
+    ) -> List[SearchResult]:
+        """MMR-diversified search (rag_engine.rs:717-759)."""
+        diversity_factor = min(max(diversity_factor, 0.0), 1.0)
+        if diversity_factor == 0.0:
+            return self.search(query, top_k, weights)
+
+        pool = max(top_k * 3, top_k + 10)
+        results = self.search(query, pool, weights)
+        if not results:
+            return []
+
+        slots = [
+            self.store.slot_for_id(r.chunk_id)
+            for r in results
+            if self.store.contains(r.chunk_id)
+        ]
+        results = [r for r in results if self.store.contains(r.chunk_id)]
+        emb = jnp.take(
+            self.store.corpus(), jnp.asarray(np.asarray(slots, np.int32)), axis=0
+        )
+        rel = jnp.asarray(
+            np.asarray([r.score for r in results], dtype=np.float32)
+        )
+        selected = np.asarray(mmr_select(emb, rel, top_k, diversity_factor))
+        return [results[int(i)] for i in selected if i >= 0]
+
+    def get_embedding_candidates(
+        self, query: str, count: int
+    ) -> List[RerankerCandidate]:
+        """Pure-embedding candidates for calibration (rag_engine.rs:415-460)."""
+        if len(self.store) == 0:
+            return []
+        q_emb = _normalize_vec(self.embedding_service.get_query_embedding(query))
+        k = min(count, len(self.store))
+        capacity = self.store.capacity
+        vals, emb_k, _, idx = hybrid_topk(
+            jnp.asarray(q_emb[None, :]),
+            self.store.corpus(),
+            self.store.valid_mask(),
+            jnp.zeros((1, capacity), dtype=jnp.float32),
+            jnp.float32(1.0),
+            jnp.float32(0.0),
+            k,
+        )
+        out = []
+        for v, slot in zip(np.asarray(vals)[0], np.asarray(idx)[0]):
+            if slot < 0 or not np.isfinite(v):
+                continue
+            m = self.store.meta_for_slot(int(slot))
+            out.append(
+                RerankerCandidate(
+                    chunk_id=m.id,
+                    document=m.document_name,
+                    text=m.text,
+                    page_number=m.page_number,
+                    section=m.section,
+                    initial_score=float(v),
+                )
+            )
+        return out
+
+    # ----- stats / listing ---------------------------------------------------
+
+    def list_documents(self) -> List[str]:
+        return self.store.document_names()
+
+    def get_stats(self) -> dict:
+        """rag_engine.rs:862-881"""
+        return {
+            "documents": len(self.list_documents()),
+            "chunks": len(self.store),
+            "status": "reindexing" if self._needs_reindex else "ready",
+            "embedding_model": self.embedding_model(),
+            "reranker_model": (
+                self.reranker.model_name if self.reranker else None
+            ),
+        }
+
+    # ----- persistence --------------------------------------------------------
+
+    def save_to_disk(self) -> None:
+        emb, metas = self.store.snapshot_host()
+        state = persistence.IndexState(
+            model=self.embedding_model(),
+            embeddings=emb,
+            metas=metas,
+            needs_reindex=self._needs_reindex,
+            document_hashes=dict(self.document_hashes),
+        )
+        persistence.save_index(self.data_dir, state)
+
+    def load_from_disk(self) -> None:
+        try:
+            res = persistence.load_index(self.data_dir, self.embedding_model())
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Could not load existing data: %s", e)
+            return
+        if res.state is None:
+            self._needs_reindex = res.needs_reindex
+            return
+        st = res.state
+        if st.embeddings.shape[0]:
+            if st.embeddings.shape[1] != self.store.dim:
+                logger.warning(
+                    "Index dim %d != encoder dim %d; marking for reindex",
+                    st.embeddings.shape[1],
+                    self.store.dim,
+                )
+                self._needs_reindex = True
+                return
+            self.store.add_chunks(st.metas, st.embeddings)
+            for m in st.metas:
+                self.lexical_index.add_chunk(m.id, m.text)
+        self.document_hashes = dict(st.document_hashes)
+        self._needs_reindex = st.needs_reindex or res.needs_reindex
+        self.validate_index_sync()
+        logger.info("Loaded %d chunks from disk", len(self.store))

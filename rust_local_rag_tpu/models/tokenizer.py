@@ -1,0 +1,121 @@
+"""Tokenization for the on-TPU models.
+
+Two backends:
+  * HfTokenizer — wraps a HuggingFace `tokenizers` JSON file when one is
+    available locally (TOKENIZER_PATH env or explicit path). No network.
+  * HashTokenizer — deterministic, vocabulary-free: word pieces are hashed
+    into a fixed id space. Fully hermetic (tests, air-gapped deployments)
+    and stable across processes.
+
+Both produce fixed-shape [batch, max_len] int32 id matrices + masks, because
+XLA wants static shapes; bucketed padding keeps recompiles bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Reserved ids for the hash tokenizer
+PAD_ID = 0
+CLS_ID = 1
+SEP_ID = 2
+UNK_ID = 3
+_N_SPECIAL = 4
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")
+
+# Padding buckets: sequences pad up to the nearest bucket to bound the
+# number of distinct compiled shapes.
+DEFAULT_BUCKETS = (64, 128, 256, 512)
+
+
+def bucket_length(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class HashTokenizer:
+    """Deterministic hashing tokenizer (vocab-free).
+
+    Each lowercase word maps to `_N_SPECIAL + blake2b(word) % (vocab - 4)`.
+    Collisions are rare at vocab 30k for natural text and irrelevant for the
+    retrieval-stack plumbing this backs.
+    """
+
+    def __init__(self, vocab_size: int = 30528, max_len: int = 512):
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+
+    def tokenize(self, text: str) -> List[int]:
+        ids = [CLS_ID]
+        for w in _WORD_RE.findall(text.lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            ids.append(_N_SPECIAL + h % (self.vocab_size - _N_SPECIAL))
+            if len(ids) >= self.max_len - 1:
+                break
+        ids.append(SEP_ID)
+        return ids
+
+    def encode_batch(
+        self, texts: Sequence[str], buckets: Sequence[int] = DEFAULT_BUCKETS
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (ids [B, L], mask [B, L]) padded to a bucketed length."""
+        tokenized = [self.tokenize(t) for t in texts]
+        longest = max((len(t) for t in tokenized), default=1)
+        L = bucket_length(min(longest, self.max_len), buckets)
+        ids = np.full((len(texts), L), PAD_ID, dtype=np.int32)
+        mask = np.zeros((len(texts), L), dtype=np.int32)
+        for i, toks in enumerate(tokenized):
+            toks = toks[:L]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return ids, mask
+
+
+class HfTokenizer:
+    """Local HuggingFace `tokenizers` JSON file (no hub access)."""
+
+    def __init__(self, path: str, max_len: int = 512):
+        from tokenizers import Tokenizer  # local wheel, no network
+
+        self._tok = Tokenizer.from_file(path)
+        self.vocab_size = self._tok.get_vocab_size()
+        self.max_len = max_len
+
+    def tokenize(self, text: str) -> List[int]:
+        return self._tok.encode(text).ids[: self.max_len]
+
+    def encode_batch(
+        self, texts: Sequence[str], buckets: Sequence[int] = DEFAULT_BUCKETS
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        encs = self._tok.encode_batch(list(texts))
+        tokenized = [e.ids[: self.max_len] for e in encs]
+        longest = max((len(t) for t in tokenized), default=1)
+        L = bucket_length(min(longest, self.max_len), buckets)
+        ids = np.zeros((len(texts), L), dtype=np.int32)
+        mask = np.zeros((len(texts), L), dtype=np.int32)
+        for i, toks in enumerate(tokenized):
+            toks = toks[:L]
+            ids[i, : len(toks)] = toks
+            mask[i, : len(toks)] = 1
+        return ids, mask
+
+
+def load_tokenizer(
+    path: Optional[str] = None, vocab_size: int = 30528, max_len: int = 512
+):
+    """HfTokenizer when a local tokenizer.json is available, else the
+    deterministic hash tokenizer."""
+    path = path or os.environ.get("TOKENIZER_PATH")
+    if path and os.path.exists(path):
+        return HfTokenizer(path, max_len=max_len)
+    return HashTokenizer(vocab_size=vocab_size, max_len=max_len)

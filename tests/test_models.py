@@ -1,0 +1,213 @@
+"""Encoder / reranker model and service tests (small configs on CPU)."""
+
+import numpy as np
+import pytest
+
+from rust_local_rag_tpu.models.encoder import (
+    EncoderConfig,
+    TransformerEncoderModel,
+)
+from rust_local_rag_tpu.models.reranker import (
+    FakeReranker,
+    RerankerConfig,
+    TransformerReranker,
+    softmax_yes_no,
+)
+from rust_local_rag_tpu.models.reranker_service import (
+    RerankerCandidate,
+    RerankerService,
+    DEFAULT_PROMPT_TEMPLATE,
+)
+from rust_local_rag_tpu.models.embedding_service import EmbeddingService
+from rust_local_rag_tpu.models.fake_encoder import HashEncoder
+from rust_local_rag_tpu.models.tokenizer import HashTokenizer, bucket_length
+
+TINY_ENC = EncoderConfig(
+    vocab_size=512, dim=32, depth=2, heads=2, ffn_dim=64, max_len=64,
+    activation_dtype="float32",
+)
+TINY_RR = RerankerConfig(
+    vocab_size=512, dim=32, depth=2, heads=2, ffn_dim=64, max_len=128,
+    activation_dtype="float32",
+)
+
+
+# ----- tokenizer -----
+
+def test_hash_tokenizer_deterministic():
+    t = HashTokenizer(vocab_size=1000)
+    a = t.tokenize("hello world")
+    b = t.tokenize("hello world")
+    assert a == b
+    assert a[0] == 1 and a[-1] == 2  # CLS ... SEP
+
+
+def test_hash_tokenizer_batch_padding():
+    t = HashTokenizer(vocab_size=1000)
+    ids, mask = t.encode_batch(["one two three", "one"])
+    assert ids.shape == mask.shape
+    assert ids.shape[1] == bucket_length(5)
+    assert mask[0].sum() == 5  # CLS + 3 words + SEP
+    assert mask[1].sum() == 3
+
+
+def test_bucket_length():
+    assert bucket_length(10) == 64
+    assert bucket_length(65) == 128
+    assert bucket_length(10_000) == 512
+
+
+# ----- encoder -----
+
+def test_encoder_shapes_and_normalization():
+    m = TransformerEncoderModel(cfg=TINY_ENC, model_name="tiny", seed=0)
+    out = m.encode(["hello world", "a longer sentence about things"])
+    assert out.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_encoder_deterministic_and_padding_invariant():
+    m = TransformerEncoderModel(cfg=TINY_ENC, model_name="tiny", seed=0)
+    a = m.encode(["hello world"])[0]
+    b = m.encode(["hello world"])[0]
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    # same text embedded inside a batch with a longer neighbor (more padding)
+    c = m.encode(["hello world", "x " * 50])[0]
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_distinguishes_texts():
+    m = TransformerEncoderModel(cfg=TINY_ENC, model_name="tiny", seed=0)
+    out = m.encode(["completely different topic", "hello world"])
+    sim = float(out[0] @ out[1])
+    assert sim < 0.999
+
+
+def test_encoder_empty_batch():
+    m = TransformerEncoderModel(cfg=TINY_ENC, model_name="tiny", seed=0)
+    assert m.encode([]).shape == (0, 32)
+
+
+# ----- embedding service -----
+
+def test_service_query_cache():
+    calls = {"n": 0}
+
+    class CountingEncoder(HashEncoder):
+        def encode(self, texts):
+            calls["n"] += len(texts)
+            return super().encode(texts)
+
+    svc = EmbeddingService(CountingEncoder(dim=16))
+    a = svc.get_query_embedding("same query")
+    b = svc.get_query_embedding("same query")
+    np.testing.assert_array_equal(a, b)
+    assert calls["n"] == 1  # second call served from LRU
+
+
+def test_service_batching_and_callback():
+    svc = EmbeddingService(HashEncoder(dim=16))
+    events = []
+    out = svc.embed_in_batches(
+        [f"text {i}" for i in range(10)],
+        batch_callback=lambda bi, tb, tc, cb: events.append((bi, tb, tc, cb)),
+        batch_size=4,
+        cooldown_ms=0,
+    )
+    assert out.shape == (10, 16)
+    assert events == [(1, 3, 10, 4), (2, 3, 10, 4), (3, 3, 10, 2)]
+
+
+def test_service_verify():
+    svc = EmbeddingService(HashEncoder(dim=16))
+    svc.verify()  # must not raise
+
+
+# ----- reranker -----
+
+def test_softmax_yes_no_formula():
+    assert softmax_yes_no(0.0, 0.0) == pytest.approx(0.5)
+    assert softmax_yes_no(None, None) == pytest.approx(0.5)
+    assert softmax_yes_no(-1.0, None) == pytest.approx(
+        np.exp(-1) / (np.exp(-1) + np.exp(-10))
+    )
+    assert softmax_yes_no(0.0, -10.0) > 0.99
+
+
+def test_transformer_reranker_batch():
+    rr = TransformerReranker(cfg=TINY_RR, model_name="tiny-rr", seed=1)
+    scores = rr.score_prompts(["Query: a\nChunk:\nb\nAnswer:", "Query: c\nChunk:\nd\nAnswer:"])
+    assert len(scores) == 2
+    for s, y, n in scores:
+        assert 0.0 <= s <= 1.0
+        assert s == pytest.approx(softmax_yes_no(y, n), abs=1e-6)
+
+
+def test_reranker_service_prompt_building():
+    svc = RerankerService(FakeReranker(), prompt_template=DEFAULT_PROMPT_TEMPLATE)
+    c = RerankerCandidate(
+        chunk_id="c1", document="doc.pdf", text="  chunk body  ",
+        page_number=0, section=None, initial_score=0.5,
+    )
+    p = svc.build_prompt("  my query ", c)
+    assert "Query: my query" in p
+    assert "Page: unknown" in p       # page 0 -> unknown (reranker.rs:447-451)
+    assert "chunk body" in p
+    c2 = RerankerCandidate(
+        chunk_id="c2", document="d", text="t", page_number=7,
+        section="  Methods  ", initial_score=0.1,
+    )
+    p2 = svc.build_prompt("q", c2)
+    assert "Page: 7" in p2
+
+
+def test_reranker_service_sorts_desc():
+    svc = RerankerService(FakeReranker())
+    cands = [
+        RerankerCandidate(f"c{i}", "d.pdf", f"text about topic {i}", 1, None, 0.1 * i)
+        for i in range(5)
+    ]
+    out = svc.rerank("topic 3", cands)
+    rels = [r.relevance for r in out]
+    assert rels == sorted(rels, reverse=True)
+    assert {r.chunk_id for r in out} == {c.chunk_id for c in cands}
+
+
+def test_reranker_service_fallback_on_failure():
+    class BrokenModel:
+        model_name = "broken"
+
+        def score_prompts(self, prompts):
+            raise RuntimeError("boom")
+
+    svc = RerankerService(BrokenModel(), prompt_template=DEFAULT_PROMPT_TEMPLATE)
+    cands = [
+        RerankerCandidate("a", "d", "t", 1, None, 0.9),
+        RerankerCandidate("b", "d", "t", 1, None, 0.3),
+    ]
+    out = svc.rerank("q", cands)
+    # falls back to initial scores, sorted desc (reranker.rs:288-313)
+    assert [r.chunk_id for r in out] == ["a", "b"]
+    assert out[0].relevance == pytest.approx(0.9)
+    assert out[0].yes_logprob is None
+
+
+def test_calibration_stats():
+    svc = RerankerService(FakeReranker())
+    cands = [
+        RerankerCandidate(f"c{i}", "d", f"text {i}", 1, None, 0.5) for i in range(6)
+    ]
+    stats = svc.calibrate_timeout("query", cands, 5)
+    assert stats.sample_size == 5
+    assert stats.max_ms >= stats.p99_ms >= stats.p95_ms >= 0
+    with pytest.raises(ValueError):
+        svc.calibrate_timeout("query", [], 5)
+
+
+def test_prompt_template_from_prompts_dir(tmp_path, monkeypatch):
+    (tmp_path / "reranker.txt").write_text("CUSTOM {query} | {text}")
+    monkeypatch.setenv("PROMPTS_DIR", str(tmp_path))
+    from rust_local_rag_tpu.models.reranker_service import load_prompt_template
+
+    t = load_prompt_template()
+    assert t.startswith("CUSTOM")
