@@ -37,13 +37,25 @@ from rust_local_rag_tpu.models.reranker_service import (
 )
 from rust_local_rag_tpu.ops.bm25 import LexicalIndex
 from rust_local_rag_tpu.ops.hybrid import hybrid_topk
-from rust_local_rag_tpu.ops.mmr import mmr_select
+from rust_local_rag_tpu.ops.mmr import mmr_select, mmr_select_host, similarity_matrix
 
 logger = logging.getLogger(__name__)
 
 F32_EPSILON = 1.1920929e-07
 MIN_CHUNK_CHARS = 10  # rag_engine.rs:248-258
 CHUNK_TOKEN_BUDGET = 200  # rag_engine.rs:245
+
+# Device top-k sizes are bucketed so the number of distinct compiled shapes
+# stays small (TPU compiles are expensive; greedy top-k/MMR prefixes are
+# stable, so computing a slightly larger k and trimming is exact).
+_K_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+
+
+def _bucket_k(k: int) -> int:
+    for b in _K_BUCKETS:
+        if k <= b:
+            return b
+    return k
 
 
 @dataclass
@@ -113,6 +125,9 @@ class RagEngine:
         self.lexical_index = LexicalIndex()
         self.document_hashes: Dict[str, str] = {}
         self._needs_reindex = False
+        import os as _os
+
+        self._device_mmr = bool(_os.environ.get("RAG_TPU_DEVICE_MMR"))
         self.load_from_disk()
 
     # ----- lifecycle -------------------------------------------------------
@@ -303,12 +318,12 @@ class RagEngine:
             jnp.asarray(lex_dense),
             jnp.float32(resolved.embedding),
             jnp.float32(resolved.lexical),
-            initial_k,
+            _bucket_k(initial_k),
         )
-        vals = np.asarray(vals)[0]
-        emb_k = np.asarray(emb_k)[0]
-        lex_k = np.asarray(lex_k)[0]
-        idx = np.asarray(idx)[0]
+        vals = np.asarray(vals)[0][:initial_k]
+        emb_k = np.asarray(emb_k)[0][:initial_k]
+        lex_k = np.asarray(lex_k)[0][:initial_k]
+        idx = np.asarray(idx)[0][:initial_k]
 
         candidates: List[dict] = []
         for rank in range(len(idx)):
@@ -433,20 +448,39 @@ class RagEngine:
         if not results:
             return []
 
-        slots = [
-            self.store.slot_for_id(r.chunk_id)
-            for r in results
-            if self.store.contains(r.chunk_id)
-        ]
         results = [r for r in results if self.store.contains(r.chunk_id)]
-        emb = jnp.take(
-            self.store.corpus(), jnp.asarray(np.asarray(slots, np.int32)), axis=0
-        )
-        rel = jnp.asarray(
-            np.asarray([r.score for r in results], dtype=np.float32)
-        )
-        selected = np.asarray(mmr_select(emb, rel, top_k, diversity_factor))
-        return [results[int(i)] for i in selected if i >= 0]
+        slots = [self.store.slot_for_id(r.chunk_id) for r in results]
+        n = len(results)
+        rel = np.asarray([r.score for r in results], dtype=np.float32)
+
+        # Pad the candidate pool to a bucketed size so the device program
+        # compiles once per pool bucket.
+        p_pad = _bucket_k(n)
+        slots_arr = np.zeros(p_pad, dtype=np.int32)
+        slots_arr[:n] = np.asarray(slots, dtype=np.int32)
+        emb = jnp.take(self.store.corpus(), jnp.asarray(slots_arr), axis=0)
+
+        if self._device_mmr:
+            # Fully on-device greedy loop (ops/mmr.mmr_select).
+            rel_arr = np.full(p_pad, -np.inf, dtype=np.float32)
+            rel_arr[:n] = rel
+            selected = np.asarray(
+                mmr_select(
+                    emb,
+                    jnp.asarray(rel_arr),
+                    _bucket_k(top_k),
+                    diversity_factor,
+                    valid_count=jnp.int32(n),
+                )
+            )[:top_k]
+            return [results[int(i)] for i in selected if i >= 0]
+
+        # Default split execution: device computes the O(P^2 D) pairwise
+        # similarity matmul; the tiny sequential greedy scan runs on host
+        # (identical semantics, one device->host transfer).
+        sims = np.asarray(similarity_matrix(emb))[:n, :n]
+        selected = mmr_select_host(sims, rel, top_k, diversity_factor)
+        return [results[i] for i in selected]
 
     def get_embedding_candidates(
         self, query: str, count: int
@@ -464,10 +498,10 @@ class RagEngine:
             jnp.zeros((1, capacity), dtype=jnp.float32),
             jnp.float32(1.0),
             jnp.float32(0.0),
-            k,
+            _bucket_k(k),
         )
         out = []
-        for v, slot in zip(np.asarray(vals)[0], np.asarray(idx)[0]):
+        for v, slot in zip(np.asarray(vals)[0][:k], np.asarray(idx)[0][:k]):
             if slot < 0 or not np.isfinite(v):
                 continue
             m = self.store.meta_for_slot(int(slot))
@@ -482,6 +516,24 @@ class RagEngine:
                 )
             )
         return out
+
+    def warmup(self) -> None:
+        """Pre-compile the search device programs so the first query is not
+        a multi-second (on some TPU compile services, multi-minute) stall.
+        Compiles the default-path shapes: hybrid top-k at the common k
+        buckets and the MMR loop."""
+        if len(self.store) == 0:
+            return
+        t0 = time.monotonic()
+        try:
+            self.search_with_diversity("warmup query", 5, 0.3)
+            self.search("warmup query", 5)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Warmup failed (non-fatal): %s", e)
+            return
+        logger.info(
+            "Search programs warmed up in %.1f s", time.monotonic() - t0
+        )
 
     # ----- stats / listing ---------------------------------------------------
 

@@ -25,11 +25,65 @@ deterministic.
 from __future__ import annotations
 
 import functools
+import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-jnp.inf)
+
+
+@jax.jit
+def similarity_matrix(embeddings: jax.Array) -> jax.Array:
+    """[P, D] -> [P, P] pairwise dot products (one MXU matmul, f32).
+
+    The split-execution MMR path: the device does the O(P^2 D) work in one
+    fused matmul; the O(k P) greedy argmax scan — trivially sequential and
+    tiny — runs on host over this matrix (mmr_select_host). One device->host
+    transfer of ~P^2 floats, no per-step round trips.
+    """
+    return jnp.einsum(
+        "pd,qd->pq",
+        embeddings,
+        embeddings,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def mmr_select_host(
+    sims: np.ndarray,
+    relevance: np.ndarray,
+    k: int,
+    diversity_factor: float,
+) -> list:
+    """Greedy MMR over a precomputed similarity matrix — identical semantics
+    to mmr_select (and to rag_engine.rs:767-839), with deterministic
+    first-index tie-breaking. Returns selected indices in order."""
+    p = sims.shape[0]
+    if p == 0:
+        return []
+    lam = float(diversity_factor)
+    rel = np.asarray(relevance, dtype=np.float32)
+
+    selected = [0]  # swap_remove(0): unconditional first pick
+    picked = np.zeros(p, dtype=bool)
+    picked[0] = True
+    max_sim = np.where(np.isfinite(sims[0]), sims[0], 0.0)
+    max_sim = np.maximum(max_sim, 0.0)  # fold(0.0, max) floor
+
+    while len(selected) < k:
+        mmr = (1.0 - lam) * rel - lam * max_sim
+        mmr[picked | ~np.isfinite(rel) | ~np.isfinite(mmr)] = -math.inf
+        best = int(np.argmax(mmr))
+        if mmr[best] == -math.inf:
+            break
+        selected.append(best)
+        picked[best] = True
+        row = np.where(np.isfinite(sims[best]), sims[best], 0.0)
+        max_sim = np.maximum(max_sim, row)
+    return selected
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -66,43 +120,55 @@ def mmr_select(
     n_pos = jnp.sum(pos_valid.astype(jnp.int32))
     mmr_valid = pos_valid & jnp.isfinite(rel)
 
+    # NOTE: the loop body is pure masked arithmetic — no lax.cond. Branchy
+    # bodies compile pathologically slowly on some TPU compile services
+    # (observed 450 s for a cond-based variant vs ~1 s for this one); the
+    # predicated form also maps better onto the VPU.
     def body(i, state):
         selected, max_sim, out, count = state
 
-        def pick_first(_):
-            # swap_remove(0): take the top-ranked candidate unconditionally
-            # (first positionally valid index; no finiteness check).
-            first = jnp.argmax(pos_valid).astype(jnp.int32)
-            return first, n_pos > 0
+        # MMR pick (used for i > 0)
+        mmr = (1.0 - lam) * rel - lam * max_sim
+        mmr = jnp.where(mmr_valid & ~selected & jnp.isfinite(mmr), mmr, NEG_INF)
+        best_mmr = jnp.argmax(mmr).astype(jnp.int32)
+        ok_mmr = jnp.max(mmr) > NEG_INF
 
-        def pick_mmr(_):
-            mmr = (1.0 - lam) * rel - lam * max_sim
-            mmr = jnp.where(
-                mmr_valid & ~selected & jnp.isfinite(mmr), mmr, NEG_INF
-            )
-            best = jnp.argmax(mmr).astype(jnp.int32)
-            return best, mmr[best] > NEG_INF
+        # First pick (i == 0): swap_remove(0) — the top-ranked candidate,
+        # unconditionally (no finiteness check).
+        first = jnp.argmax(pos_valid).astype(jnp.int32)
 
-        best, ok = jax.lax.cond(i == 0, pick_first, pick_mmr, operand=None)
+        is_first = i == 0
+        best = jnp.where(is_first, first, best_mmr)
+        ok = jnp.where(is_first, n_pos > 0, ok_mmr)
         # Once a step fails, every later step fails too (early break).
         ok = ok & (count == i)
 
-        def apply(_):
-            sel2 = selected.at[best].set(True)
-            sims = jnp.einsum(
-                "pd,d->p",
-                embeddings,
-                embeddings[best],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            sims = jnp.where(jnp.isfinite(sims), sims, 0.0)
-            return sel2, jnp.maximum(max_sim, sims), out.at[i].set(best), count + 1
+        # One-hot select of the chosen row (matmul instead of a dynamic
+        # gather, and iota-compare instead of dynamic scatters — scatters
+        # with traced indices compile very slowly on some TPU toolchains).
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+        one_hot = (p_iota == best).astype(jnp.float32)
+        chosen = jnp.einsum(
+            "p,pd->d",
+            one_hot,
+            embeddings.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        sims = jnp.einsum(
+            "pd,d->p",
+            embeddings,
+            chosen,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sims = jnp.where(jnp.isfinite(sims), sims, 0.0)
 
-        def skip(_):
-            return selected, max_sim, out, count
-
-        return jax.lax.cond(ok, apply, skip, operand=None)
+        selected = selected | ((p_iota == best) & ok)
+        max_sim = jnp.where(ok, jnp.maximum(max_sim, sims), max_sim)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (out.shape[0],), 0)
+        out = jnp.where((k_iota == i) & ok, best, out)
+        count = count + jnp.where(ok, 1, 0).astype(jnp.int32)
+        return selected, max_sim, out, count
 
     init = (
         jnp.zeros((p,), dtype=bool),

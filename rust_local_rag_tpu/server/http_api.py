@@ -1,0 +1,234 @@
+"""HTTP server: JSON evaluation routes + MCP endpoint.
+
+Route surface mirrors the reference (mcp_server.rs:573-582):
+  GET  /healthz      — liveness, always 200
+  GET  /readyz       — readiness: 100 ms engine read-lock probe
+  POST /search       — JSON search for the eval harness
+  GET  /stats        — engine stats
+  POST /reindex      — start background reindex (409 when active)
+  GET  /jobs/active  — active reindex job or null
+  GET  /jobs/{id}    — job status
+  POST {MCP_HTTP_ENDPOINT} (default /mcp) — MCP JSON-RPC
+
+Engine calls run in a thread executor under a reader-writer lock so
+searches are concurrent while ingest takes brief write locks.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Optional
+
+from aiohttp import web
+
+from rust_local_rag_tpu.config import (
+    MAX_TOP_K,
+    QueryWeights,
+    get_mcp_http_endpoint,
+)
+from rust_local_rag_tpu.jobs.job_manager import JobManager, JobType
+from rust_local_rag_tpu.jobs.worker import JobRequest, WorkerSupervisor
+from rust_local_rag_tpu.server.mcp import McpHandler
+from rust_local_rag_tpu.utils.rwlock import RwLock
+
+logger = logging.getLogger(__name__)
+
+
+class AppContext:
+    """Shared state for HTTP handlers + the MCP tool dispatcher
+    (mcp_server.rs:399-406 AppState equivalent)."""
+
+    def __init__(
+        self,
+        engine,
+        engine_lock: RwLock,
+        job_manager: JobManager,
+        supervisor: WorkerSupervisor,
+        documents_dir: str,
+    ):
+        self.engine = engine
+        self.engine_lock = engine_lock
+        self.job_manager = job_manager
+        self.supervisor = supervisor
+        self.documents_dir = documents_dir
+
+    # --- sync operations (called inside an executor) ---
+
+    def search(self, query, top_k, diversity, weights: Optional[QueryWeights]):
+        with self.engine_lock.read():
+            return self.engine.search_with_diversity(
+                query, top_k, diversity, weights
+            )
+
+    def list_documents(self):
+        with self.engine_lock.read():
+            return self.engine.list_documents()
+
+    def get_stats(self):
+        with self.engine_lock.read():
+            return self.engine.get_stats()
+
+    def start_reindex(self):
+        """Atomic create-if-not-active + enqueue (mcp_server.rs:148-189)."""
+        job = self.job_manager.create_reindex_job_if_not_active(
+            self.documents_dir, 0
+        )
+        if job is None:
+            return None
+        self.supervisor.submit(JobRequest(job.job_id, self.documents_dir))
+        return job
+
+    def get_job(self, job_id: str):
+        return self.job_manager.get_job(job_id)
+
+    def find_active_job(self):
+        return self.job_manager.find_active_reindex_job()
+
+    def has_reranker(self) -> bool:
+        with self.engine_lock.read():
+            return self.engine.has_reranker()
+
+    def get_embedding_candidates(self, query: str, count: int):
+        with self.engine_lock.read():
+            return self.engine.get_embedding_candidates(query, count)
+
+    def calibrate(self, query, candidates, sample_size):
+        with self.engine_lock.read():
+            return self.engine.get_reranker().calibrate_timeout(
+                query, candidates, sample_size
+            )
+
+    def readyz_probe(self) -> bool:
+        """100 ms read-lock probe (mcp_server.rs:328-343)."""
+        if self.engine_lock.acquire_read(timeout=0.1):
+            self.engine_lock.release_read()
+            return True
+        return False
+
+
+async def _in_executor(fn, *args):
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(None, fn, *args)
+
+
+def build_app(ctx: AppContext) -> web.Application:
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    mcp = McpHandler(ctx)
+
+    async def healthz(request: web.Request) -> web.Response:
+        return web.Response(status=200)
+
+    async def readyz(request: web.Request) -> web.Response:
+        ok = await _in_executor(ctx.readyz_probe)
+        return web.Response(status=200 if ok else 503)
+
+    async def http_search(request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.Response(status=400, text="invalid JSON")
+        query = body.get("query", "")
+        try:
+            top_k = min(int(body.get("top_k", 5)), MAX_TOP_K)
+            diversity = float(body.get("diversity_factor", 0.3))
+        except (TypeError, ValueError):
+            return web.Response(status=400, text="invalid top_k/diversity_factor")
+        diversity = min(max(diversity, 0.0), 1.0)
+        weights = (
+            QueryWeights.from_dict(body["weights"])
+            if isinstance(body.get("weights"), dict)
+            else None
+        )
+        try:
+            results = await _in_executor(
+                ctx.search, query, top_k, diversity, weights
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.error("Search error: %s", e)
+            return web.Response(status=500)
+        return web.json_response({"results": [r.to_dict() for r in results]})
+
+    async def http_stats(request: web.Request) -> web.Response:
+        stats = await _in_executor(ctx.get_stats)
+        return web.json_response(stats)
+
+    async def http_reindex(request: web.Request) -> web.Response:
+        try:
+            job = await _in_executor(ctx.start_reindex)
+        except Exception as e:  # noqa: BLE001
+            logger.error("Failed to create reindex job: %s", e)
+            return web.Response(status=500, text=f"Failed to create job: {e}")
+        if job is None:
+            return web.Response(
+                status=409, text="A reindex job is already in progress"
+            )
+        return web.json_response(
+            {"job_id": job.job_id, "message": "Reindexing started"}
+        )
+
+    async def http_job_status(request: web.Request) -> web.Response:
+        job_id = request.match_info["job_id"]
+        job = await _in_executor(ctx.get_job, job_id)
+        if job is None:
+            return web.Response(status=404, text=f"Job {job_id} not found")
+        return web.json_response(
+            {
+                "job_id": job.job_id,
+                "status": job.status.value,
+                "progress": job.progress,
+                "total": job.total,
+                "error": job.error,
+            }
+        )
+
+    async def http_active_job(request: web.Request) -> web.Response:
+        job = await _in_executor(ctx.find_active_job)
+        if job is None:
+            return web.json_response(None)
+        return web.json_response(
+            {
+                "job_id": job.job_id,
+                "status": job.status.value,
+                "progress": job.progress,
+                "total": job.total,
+                "error": job.error,
+            }
+        )
+
+    async def mcp_endpoint(request: web.Request) -> web.Response:
+        try:
+            payload = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response(
+                {
+                    "jsonrpc": "2.0",
+                    "id": None,
+                    "error": {"code": -32700, "message": "Parse error"},
+                },
+                status=400,
+            )
+        response = await _in_executor(mcp.handle, payload)
+        if response is None:  # notification
+            return web.Response(status=202)
+        accept = request.headers.get("Accept", "")
+        if "text/event-stream" in accept and "application/json" not in accept:
+            body = f"event: message\ndata: {json.dumps(response)}\n\n"
+            return web.Response(
+                status=200, body=body.encode(), content_type="text/event-stream"
+            )
+        return web.json_response(response)
+
+    app.router.add_get("/healthz", healthz)
+    app.router.add_get("/readyz", readyz)
+    app.router.add_post("/search", http_search)
+    app.router.add_get("/stats", http_stats)
+    app.router.add_post("/reindex", http_reindex)
+    app.router.add_get("/jobs/active", http_active_job)
+    app.router.add_get("/jobs/{job_id}", http_job_status)
+    endpoint = get_mcp_http_endpoint()
+    app.router.add_post(endpoint, mcp_endpoint)
+    # some MCP clients GET the endpoint to open an SSE channel; reply 405
+    # like a JSON-only streamable server does
+    return app

@@ -1,0 +1,363 @@
+"""End-to-end server tests: real aiohttp server on a local port, driven over
+HTTP exactly like the eval harness / an MCP client would
+(mcp_server.rs route surface + tools)."""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import pytest
+import requests
+
+from rust_local_rag_tpu.engine import RagEngine
+from rust_local_rag_tpu.jobs import JobManager, WorkerSupervisor
+from rust_local_rag_tpu.models import EmbeddingService, HashEncoder
+from rust_local_rag_tpu.models.reranker import FakeReranker
+from rust_local_rag_tpu.models.reranker_service import RerankerService
+from rust_local_rag_tpu.server.http_api import AppContext, build_app
+from rust_local_rag_tpu.utils.rwlock import RwLock
+
+import pdfgen
+
+DOCS = {
+    "space.pdf": (
+        "ASTRONOMY\n\nTelescopes observe distant galaxies and nebulae. "
+        "Spectroscopy reveals the composition of stars."
+    ),
+    "garden.pdf": (
+        "GARDENING\n\nTomato plants need full sun and regular watering. "
+        "Compost improves soil structure and fertility."
+    ),
+}
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class ServerFixture:
+    def __init__(self, tmp_path, with_reranker=True):
+        self.data_dir = tmp_path / "data"
+        self.docs_dir = tmp_path / "documents"
+        self.data_dir.mkdir()
+        self.docs_dir.mkdir()
+        for name, body in DOCS.items():
+            (self.docs_dir / name).write_bytes(pdfgen.make_pdf([body]))
+
+        svc = EmbeddingService(HashEncoder(dim=128, model_name="server-test"))
+        rr = (
+            RerankerService(FakeReranker(model_name="fake-rr"))
+            if with_reranker
+            else None
+        )
+        self.engine = RagEngine(str(self.data_dir), svc, reranker=rr)
+        self.lock = RwLock()
+        self.jm = JobManager(str(self.data_dir / "jobs.db"))
+        self.sup = WorkerSupervisor(
+            self.jm, self.engine, self.lock, log_dir=str(tmp_path / "logs")
+        )
+        self.ctx = AppContext(
+            self.engine, self.lock, self.jm, self.sup, str(self.docs_dir)
+        )
+        self.port = _free_port()
+        self.base = f"http://127.0.0.1:{self.port}"
+        self._loop = None
+        self._thread = None
+
+    def start(self):
+        self.sup.start()
+        from aiohttp import web
+
+        app = build_app(self.ctx)
+        started = threading.Event()
+
+        def run():
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+            runner = web.AppRunner(app)
+            self._loop.run_until_complete(runner.setup())
+            site = web.TCPSite(runner, "127.0.0.1", self.port)
+            self._loop.run_until_complete(site.start())
+            started.set()
+            self._loop.run_forever()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        assert started.wait(10)
+        # wait for readiness
+        for _ in range(50):
+            try:
+                if requests.get(f"{self.base}/readyz", timeout=1).status_code == 200:
+                    return
+            except requests.RequestException:
+                pass
+            time.sleep(0.1)
+        raise RuntimeError("server did not become ready")
+
+    def stop(self):
+        self.sup.stop(timeout=2)
+        if self._loop:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def mcp(self, method, params=None, rid=1):
+        payload = {"jsonrpc": "2.0", "id": rid, "method": method}
+        if params is not None:
+            payload["params"] = params
+        r = requests.post(f"{self.base}/mcp", json=payload, timeout=30)
+        r.raise_for_status()
+        return r.json()
+
+    def tool(self, name, arguments=None):
+        return self.mcp(
+            "tools/call", {"name": name, "arguments": arguments or {}}
+        )
+
+    def reindex_and_wait(self, timeout=60.0):
+        r = requests.post(f"{self.base}/reindex", timeout=10)
+        assert r.status_code == 200, r.text
+        job_id = r.json()["job_id"]
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            jr = requests.get(f"{self.base}/jobs/{job_id}", timeout=10).json()
+            if jr["status"] in ("completed", "failed"):
+                return jr
+            time.sleep(0.1)
+        raise TimeoutError("reindex did not finish")
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    fx = ServerFixture(tmp_path_factory.mktemp("srv"))
+    fx.start()
+    jr = fx.reindex_and_wait()
+    assert jr["status"] == "completed"
+    yield fx
+    fx.stop()
+
+
+def test_healthz_readyz(server):
+    assert requests.get(f"{server.base}/healthz").status_code == 200
+    assert requests.get(f"{server.base}/readyz").status_code == 200
+
+
+def test_stats_endpoint(server):
+    stats = requests.get(f"{server.base}/stats").json()
+    assert stats["documents"] == 2
+    assert stats["chunks"] >= 2
+    assert stats["status"] == "ready"
+    assert stats["embedding_model"] == "server-test"
+    assert stats["reranker_model"] == "fake-rr"
+
+
+def test_http_search(server):
+    r = requests.post(
+        f"{server.base}/search",
+        json={"query": "tomato compost watering", "top_k": 2},
+        timeout=30,
+    )
+    assert r.status_code == 200
+    results = r.json()["results"]
+    assert results
+    assert results[0]["document"] == "garden.pdf"
+    for key in ("text", "score", "chunk_id", "chunk_index", "page_number"):
+        assert key in results[0]
+    # reranked responses carry the score breakdown
+    assert "reranker_score" in results[0]
+    assert "yes_logprob" in results[0]
+
+
+def test_http_search_clamps_top_k(server):
+    r = requests.post(
+        f"{server.base}/search",
+        json={"query": "stars", "top_k": 10_000, "diversity_factor": 9.0},
+        timeout=30,
+    )
+    assert r.status_code == 200
+    assert len(r.json()["results"]) <= 100
+
+
+def test_http_search_invalid_json(server):
+    r = requests.post(
+        f"{server.base}/search",
+        data="{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    assert r.status_code == 400
+
+
+def test_jobs_endpoints(server):
+    # no active job after completion
+    r = requests.get(f"{server.base}/jobs/active")
+    assert r.status_code == 200
+    assert r.json() is None
+    # unknown job -> 404
+    assert requests.get(f"{server.base}/jobs/nonexistent").status_code == 404
+
+
+def test_reindex_conflict_while_running(tmp_path):
+    fx = ServerFixture(tmp_path, with_reranker=False)
+    fx.start()
+    try:
+        r1 = requests.post(f"{fx.base}/reindex")
+        assert r1.status_code == 200
+        # immediately racing a second reindex: 409 or (if the first finished
+        # already) 200 — assert the invariant that at most one is active
+        r2 = requests.post(f"{fx.base}/reindex")
+        if r2.status_code == 409:
+            assert "already in progress" in r2.text
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            jr = requests.get(f"{fx.base}/jobs/active").json()
+            if jr is None:
+                break
+            time.sleep(0.1)
+    finally:
+        fx.stop()
+
+
+# ----- MCP protocol -----
+
+def test_mcp_initialize(server):
+    out = server.mcp("initialize", {"protocolVersion": "2025-03-26"})
+    res = out["result"]
+    assert res["protocolVersion"] == "2025-03-26"
+    assert res["serverInfo"]["name"] == "rust-local-rag-tpu"
+    assert "tools" in res["capabilities"]
+
+
+def test_mcp_tools_list(server):
+    out = server.mcp("tools/list")
+    names = {t["name"] for t in out["result"]["tools"]}
+    assert names == {
+        "search_documents",
+        "list_documents",
+        "get_stats",
+        "start_reindex",
+        "get_job_status",
+        "calibrate_reranker",
+    }
+
+
+def test_mcp_search_documents_markdown(server):
+    out = server.tool(
+        "search_documents",
+        {"query": "galaxies spectroscopy stars", "top_k": 2},
+    )
+    text = out["result"]["content"][0]["text"]
+    assert text.startswith("Found ")
+    assert "space.pdf" in text
+    # markdown format: **1. [NN%] doc.pdf (page N)**
+    import re
+
+    assert re.search(r"\*\*1\. \[\d+%\] space\.pdf \(page \d+\)\*\*", text)
+
+
+def test_mcp_search_with_weights(server):
+    out = server.tool(
+        "search_documents",
+        {
+            "query": "tomato",
+            "top_k": 1,
+            "weights": {"embedding": 0.0, "lexical": 1.0},
+        },
+    )
+    text = out["result"]["content"][0]["text"]
+    assert "garden.pdf" in text
+
+
+def test_mcp_list_documents(server):
+    out = server.tool("list_documents")
+    text = out["result"]["content"][0]["text"]
+    assert "Uploaded documents (2):" in text
+    assert "1. garden.pdf" in text
+    assert "2. space.pdf" in text
+
+
+def test_mcp_get_stats(server):
+    out = server.tool("get_stats")
+    text = out["result"]["content"][0]["text"]
+    assert text.startswith("RAG System Stats:")
+    stats = json.loads(text.split("\n", 1)[1])
+    assert stats["documents"] == 2
+
+
+def test_mcp_get_job_status_not_found(server):
+    out = server.tool("get_job_status", {"job_id": "missing"})
+    assert "error" in out
+    assert "not found" in out["error"]["message"]
+
+
+def test_mcp_calibrate_reranker(server):
+    out = server.tool(
+        "calibrate_reranker", {"query": "stars", "sample_size": 3}
+    )
+    text = out["result"]["content"][0]["text"]
+    assert "Reranker Calibration Results:" in text
+    payload = json.loads(
+        text.split("Reranker Calibration Results:\n", 1)[1].split("\n\nRecommendation")[0]
+    )
+    # sample_size is capped at the candidate count (2 docs -> >= 1 chunk each)
+    assert 1 <= payload["calibration_stats"]["sample_size"] <= 3
+    assert payload["recommended_timeout_ms"] >= 10_000
+
+
+def test_mcp_unknown_tool(server):
+    out = server.tool("bogus_tool")
+    assert out["error"]["code"] == -32602
+
+
+def test_mcp_unknown_method(server):
+    out = server.mcp("bogus/method")
+    assert out["error"]["code"] == -32601
+
+
+def test_mcp_notification_accepted(server):
+    r = requests.post(
+        f"{server.base}/mcp",
+        json={"jsonrpc": "2.0", "method": "notifications/initialized"},
+    )
+    assert r.status_code == 202
+
+
+def test_mcp_sse_accept(server):
+    r = requests.post(
+        f"{server.base}/mcp",
+        json={"jsonrpc": "2.0", "id": 9, "method": "ping"},
+        headers={"Accept": "text/event-stream"},
+    )
+    assert r.headers["Content-Type"].startswith("text/event-stream")
+    assert r.text.startswith("event: message\ndata: ")
+
+
+def test_format_parity_with_reference_example():
+    """The exact formatting example from mcp_server.rs:644-688."""
+    from rust_local_rag_tpu.engine.rag_engine import SearchResult
+    from rust_local_rag_tpu.server.formatting import format_search_results
+
+    results = [
+        SearchResult(
+            text="The quick brown fox jumps over the lazy dog.",
+            score=0.8531, document="fox.pdf", chunk_id="chunk-123",
+            chunk_index=0, page_number=1, section="Intro",
+        ),
+        SearchResult(
+            text="Lorem ipsum dolor sit amet.",
+            score=0.725, document="lorem.pdf", chunk_id="chunk-456",
+            chunk_index=5, page_number=10, section=None,
+        ),
+    ]
+    formatted = format_search_results(results)
+    assert "**1. [85%] fox.pdf (page 1)**" in formatted
+    assert "*Section: Intro*" in formatted
+    assert "The quick brown fox" in formatted
+    assert "---\n\n" in formatted
+    assert "**2. [73%] lorem.pdf (page 10)**" in formatted
+    assert format_search_results([]) == "No results found."
