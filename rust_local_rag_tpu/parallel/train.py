@@ -1,0 +1,125 @@
+"""Distributed contrastive training for the embedding encoder.
+
+The reference cannot train anything — its models live behind Ollama HTTP.
+Here the encoder (models/encoder.py) is trainable in-framework so a
+deployment can fine-tune retrieval embeddings on its own corpus: standard
+InfoNCE over (query, positive-chunk) pairs with in-batch negatives.
+
+Parallelism is GSPMD via jit + NamedSharding over a ("data", "model") mesh:
+  * data axis  — batch sharding (DP); gradients all-reduce over ICI.
+  * model axis — tensor parallelism: attention projections are sharded on
+    the head/output dim, the SwiGLU FFN on its hidden dim, the token
+    embedding on the vocab dim. XLA inserts the all-gathers/reduce-scatters.
+
+PP/SP/EP are deliberately absent: an encoder at this scale does not need
+pipeline stages, sequences are ~200-token chunks, and there are no experts
+(SURVEY.md §2.4, §5.7 record the same analysis for the reference).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rust_local_rag_tpu.models.encoder import EncoderConfig, encoder_forward
+
+
+def param_partition_specs(cfg: EncoderConfig) -> Dict:
+    """PartitionSpecs for the encoder params pytree over ("data", "model")."""
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, "model"),
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),
+        "ffn_norm": P(),
+        "w_gate": P(None, "model"),
+        "w_up": P(None, "model"),
+        "w_down": P("model", None),
+    }
+    return {
+        "embed": P("model", None),
+        "final_norm": P(),
+        "layers": [dict(layer) for _ in range(cfg.depth)],
+    }
+
+
+def shard_params(params: Dict, mesh: Mesh, cfg: EncoderConfig) -> Dict:
+    specs = param_partition_specs(cfg)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, (jax.Array,)),
+    )
+
+
+def info_nce_loss(
+    params: Dict,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    p_ids: jax.Array,
+    p_mask: jax.Array,
+    cfg: EncoderConfig,
+    temperature: float = 0.05,
+) -> jax.Array:
+    """Symmetric InfoNCE with in-batch negatives."""
+    q = encoder_forward(params, q_ids, q_mask, cfg)  # [B, D], unit norm
+    p = encoder_forward(params, p_ids, p_mask, cfg)
+    logits = (
+        jnp.einsum("bd,cd->bc", q, p, preferred_element_type=jnp.float32)
+        / temperature
+    )
+    labels = jnp.arange(logits.shape[0])
+    loss_qp = -jnp.mean(
+        jax.nn.log_softmax(logits, axis=1)[labels, labels]
+    )
+    loss_pq = -jnp.mean(
+        jax.nn.log_softmax(logits.T, axis=1)[labels, labels]
+    )
+    return 0.5 * (loss_qp + loss_pq)
+
+
+def make_train_step(mesh: Mesh, cfg: EncoderConfig, lr: float = 1e-4):
+    """Build the jitted distributed SGD train step.
+
+    Inputs shard along "data"; params along "model" per
+    param_partition_specs. Returns step(params, batch) -> (params, loss).
+    """
+    data_spec = NamedSharding(mesh, P("data", None))
+    replicated = NamedSharding(mesh, P())
+    param_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_partition_specs(cfg)
+    )
+
+    def step(params, q_ids, q_mask, p_ids, p_mask):
+        loss, grads = jax.value_and_grad(info_nce_loss)(
+            params, q_ids, q_mask, p_ids, p_mask, cfg
+        )
+        new_params = jax.tree_util.tree_map(
+            lambda w, g: w - lr * g, params, grads
+        )
+        return new_params, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(
+            param_shardings,
+            data_spec,
+            data_spec,
+            data_spec,
+            data_spec,
+        ),
+        out_shardings=(param_shardings, replicated),
+        donate_argnums=(0,),
+    )
+
+
+def place_batch(batch: Tuple, mesh: Mesh):
+    """Place (q_ids, q_mask, p_ids, p_mask) sharded along "data"."""
+    sharding = NamedSharding(mesh, P("data", None))
+    return tuple(jax.device_put(x, sharding) for x in batch)

@@ -1,0 +1,191 @@
+"""Evaluation framework tests: metrics vs hand-computed values, fuzzy
+matching, and the full harness against a live server with the synthetic
+corpus (the reference's 0.80 hit-rate CI gate, eval/run.py:196-200)."""
+
+import math
+
+import pytest
+
+from eval_harness import metrics as M
+from eval_harness.client import (
+    SearchResult,
+    make_chunk_key,
+    matches_gold_reference,
+    normalize_doc_name,
+)
+from eval_harness.runner import (
+    EvalConfig,
+    EvalRunner,
+    GroundTruthQuery,
+    load_ground_truth,
+)
+
+
+# ----- metrics (same formulas as eval/metrics.py) -----
+
+def test_hit_rate():
+    assert M.hit_rate_at_k({"a"}, ["x", "a", "y"], 3) == 1.0
+    assert M.hit_rate_at_k({"a"}, ["x", "y"], 2) == 0.0
+    assert M.hit_rate_at_k({"a"}, ["x", "a"], 1) == 0.0  # outside top-1
+    assert M.hit_rate_at_k({"a"}, [], 5) == 0.0
+
+
+def test_mrr():
+    assert M.mrr_at_k({"a"}, ["a"], 5) == 1.0
+    assert M.mrr_at_k({"a"}, ["x", "a"], 5) == 0.5
+    assert M.mrr_at_k({"a"}, ["x", "y", "z", "a"], 5) == 0.25
+    assert M.mrr_at_k({"a"}, ["x"], 5) == 0.0
+
+
+def test_ndcg_linear_gain():
+    # relevances [3, 0, 1]: dcg = 3/log2(2) + 0 + 1/log2(4) = 3 + 0.5
+    # ideal [3, 1, 0]: idcg = 3 + 1/log2(3)
+    got = M.ndcg_at_k([3, 0, 1], 3)
+    want = (3 + 0.5) / (3 + 1 / math.log2(3))
+    assert got == pytest.approx(want)
+    assert M.ndcg_at_k([3, 2, 1], 3) == 1.0
+    assert M.ndcg_at_k([0, 0, 0], 3) == 0.0
+    assert M.ndcg_at_k([], 3) == 0.0
+
+
+def test_precision_and_context_precision():
+    assert M.precision_at_k({"a", "b"}, ["a", "x", "b", "y"], 4) == 0.5
+    assert M.context_precision([3, 0, 1, 0]) == 0.5
+    assert M.context_precision([]) == 0.0
+
+
+def test_aggregate():
+    rows = [
+        {"hit_rate": 1.0, "mrr": 1.0, "ndcg": 1.0, "latency_ms": 10},
+        {"hit_rate": 0.0, "mrr": 0.0, "ndcg": 0.0, "latency_ms": 30},
+    ]
+    agg = M.aggregate_metrics(rows)
+    assert agg["hit_rate_mean"] == 0.5
+    assert agg["latency_mean_ms"] == 20
+    assert agg["n_queries"] == 2
+
+
+# ----- fuzzy matching (eval/rag_client.py:249-283) -----
+
+def test_normalize_doc_name():
+    assert normalize_doc_name("My Doc.PDF".lower()) == "my doc"
+    assert normalize_doc_name("  plain.pdf ") == "plain"
+    assert make_chunk_key("Doc.pdf", 5) == "doc::5"
+
+
+def test_matches_gold_with_tolerance():
+    r = SearchResult(chunk_id="", document="doc.pdf", page=5, text="", score=1.0)
+    assert matches_gold_reference(r, "doc.pdf", 5, tolerance=0)
+    assert matches_gold_reference(r, "DOC.pdf", 6, tolerance=1)
+    assert not matches_gold_reference(r, "doc.pdf", 7, tolerance=1)
+    assert not matches_gold_reference(r, "other.pdf", 5, tolerance=1)
+
+
+# ----- ground truth + config loading -----
+
+def test_ground_truth_loads():
+    queries = load_ground_truth("eval_harness/ground_truth/queries.jsonl")
+    assert len(queries) == 10
+    rejections = [q for q in queries if q.is_rejection]
+    assert len(rejections) == 2
+    assert all(q.gold_references for q in queries if not q.is_rejection)
+
+
+def test_config_from_yaml():
+    cfg = EvalConfig.from_yaml("eval_harness/configs/baseline.yaml")
+    assert cfg.name == "baseline"
+    assert cfg.top_k == 5
+    assert cfg.page_tolerance == 1
+
+
+# ----- full harness against a live server -----
+
+class _FakeClient:
+    """Serves canned results keyed by query substring."""
+
+    def __init__(self, answers):
+        self.answers = answers
+
+    def search(self, query, top_k=5):
+        from eval_harness.client import SearchResponse
+
+        for key, results in self.answers.items():
+            if key in query:
+                return SearchResponse(results=results[:top_k], latency_ms=1.0)
+        return SearchResponse(results=[], latency_ms=1.0)
+
+
+def _result(doc, page, score=0.9):
+    return SearchResult(
+        chunk_id="", document=doc, page=page, text="t", score=score
+    )
+
+
+def test_runner_scoring_and_rejection():
+    gt = [
+        GroundTruthQuery(
+            query_id="Q1",
+            query="find alpha",
+            gold_references=[{"document": "a.pdf", "page": 3, "relevance": 3}],
+        ),
+        GroundTruthQuery(
+            query_id="Q2",
+            query="find beta",
+            gold_references=[{"document": "b.pdf", "page": 1, "relevance": 2}],
+        ),
+        GroundTruthQuery(
+            query_id="Q3", query="nonsense", is_rejection=True
+        ),
+    ]
+    client = _FakeClient(
+        {
+            "alpha": [_result("a.pdf", 3)],                  # hit at rank 1
+            "beta": [_result("x.pdf", 9), _result("b.pdf", 2)],  # hit at rank 2 (page±1)
+            "nonsense": [_result("z.pdf", 1, score=0.1)],    # below threshold
+        }
+    )
+    runner = EvalRunner(EvalConfig(page_tolerance=1), client=client)
+    report = runner.run_evaluation(gt)
+    s = report["summary"]
+    assert s["hit_rate_mean"] == 1.0
+    assert s["mrr_mean"] == pytest.approx((1.0 + 0.5) / 2)
+    assert s["rejection_success_rate"] == 1.0
+    assert s["passed"]
+
+
+def test_live_server_eval(tmp_path):
+    """End-to-end: synthetic corpus -> server -> eval harness gate."""
+    from eval_harness.corpus import generate_corpus, generate_ground_truth
+    from test_server import ServerFixture
+    import requests
+
+    fx = ServerFixture(tmp_path, with_reranker=True)
+    # replace the fixture's docs with the synthetic eval corpus
+    for f in fx.docs_dir.iterdir():
+        f.unlink()
+    generate_corpus(str(fx.docs_dir))
+    gt_path = tmp_path / "queries.jsonl"
+    generate_ground_truth(str(gt_path))
+
+    fx.start()
+    try:
+        jr = fx.reindex_and_wait()
+        assert jr["status"] == "completed"
+
+        cfg = EvalConfig(
+            rag_endpoint=fx.base,
+            page_tolerance=1,
+            ground_truth_path=str(gt_path),
+        )
+        runner = EvalRunner(cfg)
+        queries = load_ground_truth(str(gt_path))
+        report = runner.run_evaluation(queries)
+        s = report["summary"]
+        # the synthetic topics are well-separated: the hash encoder must
+        # clear the reference's 0.80 hit-rate CI gate
+        assert s["n_queries"] == 8
+        assert s["hit_rate_mean"] >= 0.8, report["per_query"]
+        assert s["passed"]
+        del requests
+    finally:
+        fx.stop()
