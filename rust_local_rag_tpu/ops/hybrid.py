@@ -57,7 +57,15 @@ def hybrid_topk(
 
     masked = jnp.where(valid_mask[None, :], combined, NEG_INF)
     k_eff = min(k, corpus.shape[0])
-    vals, idx = jax.lax.top_k(masked, k_eff)
+    if corpus.shape[0] >= 65536:
+        # large slab: segmented exact selection beats XLA's full sort ~4x
+        from rust_local_rag_tpu.ops.fast_topk import (
+            segmented_exact_topk_scores,
+        )
+
+        vals, idx = segmented_exact_topk_scores.__wrapped__(masked, k_eff)
+    else:
+        vals, idx = jax.lax.top_k(masked, k_eff)
     if k_eff < k:
         q = queries.shape[0]
         vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)

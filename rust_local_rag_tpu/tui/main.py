@@ -1,0 +1,238 @@
+"""rag-tui event loop: curses rendering + background workers
+(cf. bin/rag_tui/main.rs — biased select loop at :122, keymaps :126-521,
+poll timers :557-608).
+
+Keys (NORMAL): type to search (debounced), Enter opens detail, Up/Down
+select, Ctrl-R reindex, Ctrl-T theme, F1/? help, F2 settings, Ctrl-U clear,
+Esc/Ctrl-C quit.
+DETAIL: Up/Down scroll, Esc back. SETTINGS: Up/Down select, Enter edit,
+Enter saves the field, Ctrl-S writes .env, Esc back.
+"""
+
+from __future__ import annotations
+
+import curses
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+from rust_local_rag_tpu.tui.api import ApiClient
+from rust_local_rag_tpu.tui.app import AppState, Mode, Msg
+from rust_local_rag_tpu.tui.settings import Settings
+from rust_local_rag_tpu.tui.theme import get_theme, next_theme
+from rust_local_rag_tpu.tui import ui
+
+SEARCH_DEBOUNCE_S = 0.25
+STATS_INTERVAL_S = 2.0
+HEALTH_INTERVAL_S = 5.0
+JOB_INTERVAL_S = 1.0
+
+
+class Controller:
+    def __init__(self, api: ApiClient, state: AppState, settings: Settings):
+        self.api = api
+        self.state = state
+        self.settings = settings
+        self.msgs: "queue.Queue[Msg]" = queue.Queue()
+        self._pending_query: Optional[str] = None
+        self._pending_at = 0.0
+        self._last_stats = 0.0
+        self._last_health = 0.0
+        self._last_job = 0.0
+        self._job_id: Optional[str] = None
+
+    # ----- background work -----
+
+    def _spawn_search(self, query: str) -> None:
+        sid = self.state.start_search()
+
+        def worker() -> None:
+            try:
+                results = self.api.search(query, top_k=10)
+                self.msgs.put(Msg("search_done", (sid, results)))
+            except Exception as e:  # noqa: BLE001
+                self.msgs.put(Msg("search_failed", (sid, str(e))))
+
+        threading.Thread(target=worker, daemon=True).start()
+
+    def schedule_search(self) -> None:
+        self._pending_query = self.state.query
+        self._pending_at = time.monotonic() + SEARCH_DEBOUNCE_S
+
+    def start_reindex(self) -> None:
+        def worker() -> None:
+            try:
+                job = self.api.start_reindex()
+                self._job_id = job.job_id
+                self.msgs.put(Msg("job_update", job))
+                self.msgs.put(Msg("status", f"reindex started: {job.job_id[:8]}"))
+            except Exception as e:  # noqa: BLE001
+                self.msgs.put(Msg("status", f"reindex: {e}"))
+
+        threading.Thread(target=worker, daemon=True).start()
+
+    def tick(self) -> None:
+        """Timers: debounced search, stats/health/job polling."""
+        now = time.monotonic()
+        if (
+            self._pending_query is not None
+            and now >= self._pending_at
+        ):
+            q = self._pending_query
+            self._pending_query = None
+            if q.strip():
+                self._spawn_search(q)
+            else:
+                self.state.results = []
+
+        if now - self._last_stats > STATS_INTERVAL_S:
+            self._last_stats = now
+            threading.Thread(target=self._poll_stats, daemon=True).start()
+        if now - self._last_health > HEALTH_INTERVAL_S:
+            self._last_health = now
+            threading.Thread(target=self._poll_health, daemon=True).start()
+        if (
+            self.state.reindexing or self._job_id
+        ) and now - self._last_job > JOB_INTERVAL_S:
+            self._last_job = now
+            threading.Thread(target=self._poll_job, daemon=True).start()
+
+    def _poll_stats(self) -> None:
+        try:
+            self.msgs.put(Msg("stats", self.api.stats()))
+        except Exception:  # noqa: BLE001
+            pass
+
+    def _poll_health(self) -> None:
+        self.msgs.put(Msg("health", self.api.health()))
+
+    def _poll_job(self) -> None:
+        try:
+            job = (
+                self.api.job_status(self._job_id)
+                if self._job_id
+                else self.api.active_job()
+            )
+            if job is not None:
+                self.msgs.put(Msg("job_update", job))
+                if job.status in ("completed", "failed"):
+                    self._job_id = None
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _handle_key(ch: int, state: AppState, ctl: Controller) -> None:
+    if state.mode == Mode.SETTINGS:
+        _handle_settings_key(ch, state, ctl)
+        return
+    if ch in (27,):  # Esc
+        if state.mode == Mode.NORMAL:
+            state.update(Msg("quit"))
+        else:
+            state.update(Msg("back"))
+    elif ch == 3:  # Ctrl-C
+        state.update(Msg("quit"))
+    elif ch == curses.KEY_UP:
+        state.update(Msg("up"))
+    elif ch == curses.KEY_DOWN:
+        state.update(Msg("down"))
+    elif ch in (curses.KEY_ENTER, 10, 13):
+        state.update(Msg("enter_detail"))
+    elif ch == 18:  # Ctrl-R
+        ctl.start_reindex()
+    elif ch == 20:  # Ctrl-T
+        state.theme_name = next_theme(state.theme_name)
+    elif ch == 21:  # Ctrl-U
+        state.update(Msg("clear"))
+    elif ch in (curses.KEY_F1,) or (
+        state.mode != Mode.NORMAL and ch == ord("?")
+    ):
+        state.update(Msg("help"))
+    elif ch == curses.KEY_F2:
+        state.update(Msg("settings"))
+    elif ch in (curses.KEY_BACKSPACE, 127, 8):
+        state.update(Msg("backspace"))
+        ctl.schedule_search()
+    elif 32 <= ch < 127:
+        state.update(Msg("char", chr(ch)))
+        ctl.schedule_search()
+
+
+def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
+    from rust_local_rag_tpu.tui.settings import SETTING_KEYS
+
+    nrows = len(SETTING_KEYS)
+    if state.settings_editing:
+        if ch in (curses.KEY_ENTER, 10, 13):
+            key = SETTING_KEYS[state.settings_selected][0]
+            err = ctl.settings.set(key, state.settings_edit_buffer)
+            state.status_line = err or f"{key} updated (Ctrl-S to save)"
+            state.settings_editing = False
+        elif ch == 27:
+            state.settings_editing = False
+        elif ch in (curses.KEY_BACKSPACE, 127, 8):
+            state.settings_edit_buffer = state.settings_edit_buffer[:-1]
+        elif 32 <= ch < 127:
+            state.settings_edit_buffer += chr(ch)
+        return
+    if ch == 27:
+        state.update(Msg("back"))
+    elif ch == curses.KEY_UP:
+        state.settings_selected = max(0, state.settings_selected - 1)
+    elif ch == curses.KEY_DOWN:
+        state.settings_selected = min(nrows - 1, state.settings_selected + 1)
+    elif ch in (curses.KEY_ENTER, 10, 13):
+        key = SETTING_KEYS[state.settings_selected][0]
+        state.settings_edit_buffer = ctl.settings.get(key)
+        state.settings_editing = True
+    elif ch == 19:  # Ctrl-S
+        try:
+            ctl.settings.save()
+            state.status_line = f"saved {ctl.settings.path}"
+        except OSError as e:
+            state.status_line = f"save failed: {e}"
+
+
+def run(stdscr, base_url: str, env_path: str) -> None:
+    curses.curs_set(1)
+    stdscr.nodelay(True)
+    stdscr.keypad(True)
+    ui.init_colors()
+
+    api = ApiClient(base_url)
+    state = AppState()
+    settings = Settings.load(env_path)
+    ctl = Controller(api, state, settings)
+
+    while not state.quit:
+        ctl.tick()
+        try:
+            while True:
+                state.update(ctl.msgs.get_nowait())
+        except queue.Empty:
+            pass
+
+        ui.draw(stdscr, state, settings, get_theme(state.theme_name))
+
+        ch = stdscr.getch()
+        if ch != -1:
+            _handle_key(ch, state, ctl)
+        else:
+            time.sleep(0.03)
+
+
+def main() -> int:
+    base_url = os.environ.get("RAG_TUI_SERVER_URL") or "http://" + os.environ.get(
+        "MCP_HTTP_BIND", "127.0.0.1:3046"
+    )
+    env_path = os.environ.get("RAG_TUI_ENV_PATH", ".env")
+    curses.wrapper(run, base_url, env_path)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

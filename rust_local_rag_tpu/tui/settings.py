@@ -1,0 +1,133 @@
+"""Settings editor: .env round trip preserving comments and unknown keys
+(cf. bin/rag_tui/settings.rs — validation at :104-178, comment-preserving
+save at :456-510)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+# Editable settings surfaced by the TUI, with validators.
+SETTING_KEYS = [
+    ("MCP_HTTP_BIND", "Server bind address (host:port)"),
+    ("RAG_TPU_EMBEDDING_MODEL", "Embedding model name"),
+    ("RAG_TPU_RERANK_MODEL", "Rerank model name (empty disables)"),
+    ("RAG_EMBEDDING_WEIGHT", "Embedding weight (0.0-1.0)"),
+    ("RAG_LEXICAL_WEIGHT", "Lexical weight (0.0-1.0)"),
+    ("RAG_RERANKER_WEIGHT", "Reranker weight (0.0-1.0)"),
+    ("RAG_INITIAL_SCORE_WEIGHT", "Initial score weight (0.0-1.0)"),
+    ("EMBEDDING_BATCH_SIZE", "Ingest embed batch size"),
+    ("DATA_DIR", "Index data directory"),
+    ("DOCUMENTS_DIR", "PDF documents directory"),
+]
+
+_WEIGHT_KEYS = {
+    "RAG_EMBEDDING_WEIGHT",
+    "RAG_LEXICAL_WEIGHT",
+    "RAG_RERANKER_WEIGHT",
+    "RAG_INITIAL_SCORE_WEIGHT",
+}
+
+
+def validate(key: str, value: str) -> Optional[str]:
+    """Returns an error string, or None when valid."""
+    if value == "":
+        return None  # empty clears the override
+    if key in _WEIGHT_KEYS:
+        try:
+            w = float(value)
+        except ValueError:
+            return "must be a number"
+        if not (0.0 <= w <= 1.0):
+            return "must be within 0.0-1.0"
+        return None
+    if key == "EMBEDDING_BATCH_SIZE":
+        try:
+            n = int(value)
+        except ValueError:
+            return "must be an integer"
+        if n < 1:
+            return "must be >= 1"
+        return None
+    if key == "MCP_HTTP_BIND":
+        host, sep, port = value.rpartition(":")
+        if not sep or not host:
+            return "must be host:port"
+        try:
+            p = int(port)
+        except ValueError:
+            return "port must be a number"
+        if not (0 < p < 65536):
+            return "port out of range"
+        return None
+    return None
+
+
+@dataclass
+class Settings:
+    """Values + the raw .env lines they came from."""
+
+    path: str = ".env"
+    values: Dict[str, str] = field(default_factory=dict)
+    _lines: List[str] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, path: str = ".env") -> "Settings":
+        s = cls(path=path)
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                s._lines = f.read().splitlines()
+        except OSError:
+            s._lines = []
+        for line in s._lines:
+            stripped = line.strip()
+            if not stripped or stripped.startswith("#") or "=" not in stripped:
+                continue
+            key, _, val = stripped.partition("=")
+            s.values[key.strip()] = val.strip().strip("\"'")
+        return s
+
+    def get(self, key: str) -> str:
+        return self.values.get(key, os.environ.get(key, ""))
+
+    def set(self, key: str, value: str) -> Optional[str]:
+        err = validate(key, value)
+        if err:
+            return err
+        if value == "":
+            self.values.pop(key, None)
+        else:
+            self.values[key] = value
+        return None
+
+    def save(self) -> None:
+        """Rewrite .env: update known keys in place, keep comments and
+        unknown keys verbatim, append new keys at the end."""
+        seen = set()
+        out: List[str] = []
+        for line in self._lines:
+            stripped = line.strip()
+            if stripped and not stripped.startswith("#") and "=" in stripped:
+                key = stripped.partition("=")[0].strip()
+                if key in self.values:
+                    out.append(f"{key}={self.values[key]}")
+                    seen.add(key)
+                    continue
+                if key in {k for k, _ in SETTING_KEYS}:
+                    # key was cleared by the editor: drop the line
+                    seen.add(key)
+                    continue
+            out.append(line)
+        for key, value in self.values.items():
+            if key not in seen:
+                out.append(f"{key}={value}")
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(out) + ("\n" if out else ""))
+        os.replace(tmp, self.path)
+        self._lines = out
+
+    def rows(self) -> List[Tuple[str, str, str]]:
+        """(key, description, current value) for the editor."""
+        return [(k, desc, self.get(k)) for k, desc in SETTING_KEYS]

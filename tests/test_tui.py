@@ -1,0 +1,202 @@
+"""TUI state machine, settings round trip, themes, api parsing
+(cf. the reference's app.rs:930-1306, settings.rs:518-592, theme.rs tests)."""
+
+import pytest
+
+from rust_local_rag_tpu.tui.api import JobStatus, Stats, TuiSearchResult
+from rust_local_rag_tpu.tui.app import AppState, Mode, Msg
+from rust_local_rag_tpu.tui.settings import SETTING_KEYS, Settings, validate
+from rust_local_rag_tpu.tui.theme import THEMES, get_theme, next_theme
+
+
+def _results(n):
+    return [
+        TuiSearchResult(
+            text=f"text {i}", score=0.9 - i * 0.1, document=f"d{i}.pdf",
+            chunk_id=f"c{i}", chunk_index=i, page_number=i + 1,
+        )
+        for i in range(n)
+    ]
+
+
+# ----- state machine -----
+
+def test_typing_updates_query():
+    s = AppState()
+    for ch in "hello":
+        s.update(Msg("char", ch))
+    assert s.query == "hello"
+    assert s.cursor == 5
+    s.update(Msg("backspace"))
+    assert s.query == "hell"
+
+
+def test_stale_search_id_guard():
+    """app.rs:448-455: results for an old search are dropped."""
+    s = AppState()
+    sid1 = s.start_search()
+    sid2 = s.start_search()
+    assert not s.complete_search(sid1, _results(3))  # stale
+    assert s.results == []
+    assert s.complete_search(sid2, _results(2))
+    assert len(s.results) == 2
+    assert not s.searching
+
+
+def test_fail_search_stale_and_fresh():
+    s = AppState()
+    sid = s.start_search()
+    assert not s.fail_search(sid - 1, "old error")
+    assert s.fail_search(sid, "boom")
+    assert "boom" in s.status_line
+
+
+def test_navigation_bounds():
+    s = AppState()
+    s.complete_search(s.start_search(), _results(3))
+    s.update(Msg("up"))
+    assert s.selected == 0
+    s.update(Msg("down"))
+    s.update(Msg("down"))
+    s.update(Msg("down"))  # clamped
+    assert s.selected == 2
+
+
+def test_mode_transitions():
+    s = AppState()
+    s.complete_search(s.start_search(), _results(1))
+    s.update(Msg("enter_detail"))
+    assert s.mode == Mode.DETAIL
+    s.update(Msg("back"))
+    assert s.mode == Mode.NORMAL
+    s.update(Msg("help"))
+    assert s.mode == Mode.HELP
+    s.update(Msg("help"))
+    assert s.mode == Mode.NORMAL
+    s.update(Msg("settings"))
+    assert s.mode == Mode.SETTINGS
+
+
+def test_enter_detail_without_results_stays_normal():
+    s = AppState()
+    s.update(Msg("enter_detail"))
+    assert s.mode == Mode.NORMAL
+
+
+def test_job_lifecycle_status():
+    s = AppState()
+    s.update(Msg("job_update", JobStatus("j1", "inprogress", 1, 3)))
+    assert s.reindexing
+    s.update(Msg("job_update", JobStatus("j1", "completed", 3, 3)))
+    assert not s.reindexing
+    assert "completed" in s.status_line
+
+
+def test_unicode_input():
+    s = AppState()
+    s.update(Msg("char", "é"))
+    s.update(Msg("char", "漢"))
+    assert s.query == "é漢"
+    s.update(Msg("backspace"))
+    assert s.query == "é"
+
+
+def test_clear_query_resets():
+    s = AppState()
+    s.update(Msg("char", "x"))
+    s.complete_search(s.start_search(), _results(2))
+    s.update(Msg("clear"))
+    assert s.query == "" and s.results == [] and s.selected == 0
+
+
+# ----- settings -----
+
+def test_validate_weights():
+    assert validate("RAG_EMBEDDING_WEIGHT", "0.5") is None
+    assert validate("RAG_EMBEDDING_WEIGHT", "1.5") is not None
+    assert validate("RAG_EMBEDDING_WEIGHT", "abc") is not None
+    assert validate("RAG_EMBEDDING_WEIGHT", "") is None  # clears
+
+
+def test_validate_bind_and_batch():
+    assert validate("MCP_HTTP_BIND", "0.0.0.0:8080") is None
+    assert validate("MCP_HTTP_BIND", "nope") is not None
+    assert validate("MCP_HTTP_BIND", "host:99999") is not None
+    assert validate("EMBEDDING_BATCH_SIZE", "64") is None
+    assert validate("EMBEDDING_BATCH_SIZE", "0") is not None
+
+
+def test_settings_env_roundtrip_preserves_comments(tmp_path):
+    env = tmp_path / ".env"
+    env.write_text(
+        "# my config\n"
+        "UNKNOWN_KEY=keepme\n"
+        "RAG_EMBEDDING_WEIGHT=0.6\n"
+        "\n"
+        "# trailing comment\n"
+    )
+    s = Settings.load(str(env))
+    assert s.get("RAG_EMBEDDING_WEIGHT") == "0.6"
+    assert s.set("RAG_EMBEDDING_WEIGHT", "0.8") is None
+    assert s.set("EMBEDDING_BATCH_SIZE", "64") is None
+    s.save()
+
+    text = env.read_text()
+    assert "# my config" in text
+    assert "UNKNOWN_KEY=keepme" in text
+    assert "RAG_EMBEDDING_WEIGHT=0.8" in text
+    assert "EMBEDDING_BATCH_SIZE=64" in text
+    assert "# trailing comment" in text
+
+    # reload sees the new values
+    s2 = Settings.load(str(env))
+    assert s2.get("RAG_EMBEDDING_WEIGHT") == "0.8"
+
+
+def test_settings_clear_removes_line(tmp_path):
+    env = tmp_path / ".env"
+    env.write_text("RAG_LEXICAL_WEIGHT=0.3\n")
+    s = Settings.load(str(env))
+    assert s.set("RAG_LEXICAL_WEIGHT", "") is None
+    s.save()
+    assert "RAG_LEXICAL_WEIGHT" not in env.read_text()
+
+
+def test_settings_invalid_rejected(tmp_path):
+    s = Settings.load(str(tmp_path / ".env"))
+    err = s.set("RAG_RERANKER_WEIGHT", "2.0")
+    assert err is not None
+    assert s.get("RAG_RERANKER_WEIGHT") == ""
+
+
+def test_settings_rows_cover_all_keys(tmp_path):
+    s = Settings.load(str(tmp_path / ".env"))
+    assert [r[0] for r in s.rows()] == [k for k, _ in SETTING_KEYS]
+
+
+# ----- themes -----
+
+def test_theme_cycle():
+    seen = {"default"}
+    cur = "default"
+    for _ in range(len(THEMES)):
+        cur = next_theme(cur)
+        seen.add(cur)
+    assert seen == set(THEMES)
+    assert get_theme("nonexistent").name == "default"
+
+
+# ----- api parsing -----
+
+def test_result_from_json_optional_fields():
+    r = TuiSearchResult.from_json(
+        {"text": "t", "score": 0.5, "document": "d.pdf", "chunk_id": "c",
+         "chunk_index": 1, "page_number": 2}
+    )
+    assert r.reranker_score is None
+    r2 = TuiSearchResult.from_json(
+        {"text": "t", "score": 0.5, "document": "d.pdf", "chunk_id": "c",
+         "chunk_index": 1, "page_number": 2, "reranker_score": 0.9,
+         "yes_logprob": -0.1, "no_logprob": -2.3}
+    )
+    assert r2.reranker_score == 0.9
