@@ -96,6 +96,38 @@ def main() -> None:
     el_sort = timed(sort_loop)
     el_approx = timed(approx_loop)
 
+    ingest_cps = None
+    if os.environ.get("BENCH_INGEST", "1") != "0":
+        # on-TPU embedding ingest: full 12x768 encoder forward throughput
+        from rust_local_rag_tpu.models.encoder import (
+            EncoderConfig,
+            encoder_forward,
+            init_encoder_params,
+        )
+
+        cfg = EncoderConfig()
+        params = init_encoder_params(jax.random.PRNGKey(2), cfg)
+        eb, el_, es = 256, 128, 8
+        ids = jax.random.randint(
+            jax.random.PRNGKey(3), (es, eb, el_), 4, cfg.vocab_size,
+            dtype=jnp.int32,
+        )
+        msk = jnp.ones((es, eb, el_), dtype=jnp.int32)
+
+        @jax.jit
+        def ingest_loop(params, ids, msk):
+            def step(carry, xs):
+                i, m = xs
+                emb = encoder_forward(params, i, m, cfg)
+                return carry + jnp.sum(emb[:, 0]).astype(jnp.float32), ()
+            c, _ = jax.lax.scan(step, jnp.float32(0), (ids, msk))
+            return c
+
+        float(ingest_loop(params, ids, msk))
+        t0 = time.perf_counter()
+        float(ingest_loop(params, ids, msk))
+        ingest_cps = es * eb / (time.perf_counter() - t0)
+
     per_chip_qps = steps * q / el_exact
     approx_qps = steps * q / el_approx
     ref_qps = 1.0 / 30.9  # reference p50 30.9 s/query (BASELINE.md)
@@ -110,6 +142,9 @@ def main() -> None:
         "projected_v5e8_qps": round(per_chip_qps * 8, 1),
         "xla_sort_topk_qps": round(steps * q / el_sort, 1),
         "approx99_per_chip_qps": round(approx_qps, 1),
+        "ingest_chunks_per_s_per_chip": (
+            round(ingest_cps, 1) if ingest_cps else None
+        ),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -35,7 +35,7 @@ from rust_local_rag_tpu.models.reranker_service import (
     RerankerCandidate,
     RerankerService,
 )
-from rust_local_rag_tpu.ops.bm25 import LexicalIndex
+from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
 from rust_local_rag_tpu.ops.hybrid import hybrid_topk
 from rust_local_rag_tpu.ops.mmr import mmr_select, mmr_select_host, similarity_matrix
 
@@ -122,7 +122,8 @@ class RagEngine:
         self.reranker = reranker
         self._corpus_dtype = corpus_dtype
         self.store = ChunkStore(dim=embedding_service.dim, dtype=corpus_dtype)
-        self.lexical_index = LexicalIndex()
+        # native C++ index when built (see native/), Python fallback
+        self.lexical_index = make_lexical_index()
         self.document_hashes: Dict[str, str] = {}
         self._needs_reindex = False
         import os as _os

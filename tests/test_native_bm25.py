@@ -1,0 +1,110 @@
+"""Native C++ BM25 index: parity with the pure-Python LexicalIndex."""
+
+import numpy as np
+import pytest
+
+from rust_local_rag_tpu.ops.bm25 import LexicalIndex
+from rust_local_rag_tpu.ops import native_bm25
+
+pytestmark = pytest.mark.skipif(
+    not (native_bm25.native_available() or native_bm25.build_native()),
+    reason="native library unavailable and could not be built",
+)
+
+
+def _both():
+    return LexicalIndex(), native_bm25.NativeLexicalIndex()
+
+
+DOCS = {
+    "c0": "alpha beta gamma alpha",
+    "c1": "beta delta epsilon words here",
+    "c2": "gamma gamma unique tokens appear",
+    "c3": "alpha appears once more in this longer chunk of text",
+    "c4": "completely different vocabulary set entirely",
+    "c5": "numbers 12345 and 999 count too",
+}
+
+
+def test_score_parity_on_ascii_corpus():
+    py, nat = _both()
+    for cid, text in DOCS.items():
+        py.add_chunk(cid, text)
+        nat.add_chunk(cid, text)
+    for query in ("alpha gamma", "beta", "numbers 999", "vocabulary set",
+                  "unique appear tokens", "absent term"):
+        p = py.score(query, 10)
+        n = nat.score(query, 10)
+        assert {c for c, _ in p} == {c for c, _ in n}, query
+        pd, nd = dict(p), dict(n)
+        for cid in pd:
+            assert nd[cid] == pytest.approx(pd[cid], rel=1e-5), (query, cid)
+
+
+def test_remove_and_contains_parity():
+    py, nat = _both()
+    for cid, text in DOCS.items():
+        py.add_chunk(cid, text)
+        nat.add_chunk(cid, text)
+    py.remove_chunk("c0")
+    nat.remove_chunk("c0")
+    assert not nat.contains("c0")
+    assert nat.contains("c1")
+    p = py.score("alpha", 10)
+    n = nat.score("alpha", 10)
+    assert {c for c, _ in p} == {c for c, _ in n}
+
+
+def test_re_add_replaces():
+    _, nat = _both()
+    nat.add_chunk("c1", "alpha alpha alpha")
+    nat.add_chunk("c1", "beta")
+    assert nat.score("alpha", 10) == []
+    assert [c for c, _ in nat.score("beta", 10)] == ["c1"]
+    assert nat.total_docs == 1
+
+
+def test_drop_stale():
+    _, nat = _both()
+    nat.add_chunk("keep", "alpha beta gamma")
+    nat.add_chunk("stale", "delta epsilon zeta")
+    nat.drop_stale({"keep"})
+    assert nat.contains("keep")
+    assert not nat.contains("stale")
+    assert nat.total_docs == 1
+
+
+def test_empty_token_chunk_not_indexed():
+    _, nat = _both()
+    nat.add_chunk("tiny", "a b")  # all tokens < 3 chars
+    assert not nat.contains("tiny")
+    assert nat.total_docs == 0
+
+
+def test_factory_prefers_native(monkeypatch):
+    monkeypatch.setenv("RAG_TPU_NATIVE_BM25", "1")
+    idx = native_bm25.make_lexical_index()
+    assert isinstance(idx, native_bm25.NativeLexicalIndex)
+    monkeypatch.setenv("RAG_TPU_NATIVE_BM25", "0")
+    idx2 = native_bm25.make_lexical_index()
+    assert isinstance(idx2, LexicalIndex)
+
+
+def test_large_corpus_speed_sanity():
+    """Native must handle a few thousand chunks briskly (smoke, not a benchmark)."""
+    import time
+
+    nat = native_bm25.NativeLexicalIndex()
+    rng = np.random.default_rng(0)
+    vocab = [f"word{i}" for i in range(2000)]
+    t0 = time.monotonic()
+    for i in range(2000):
+        words = rng.choice(vocab, 60)
+        nat.add_chunk(f"c{i}", " ".join(words))
+    add_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    for _ in range(50):
+        nat.score("word10 word999 word1500", 25)
+    score_s = time.monotonic() - t0
+    assert add_s < 10.0
+    assert score_s < 5.0
