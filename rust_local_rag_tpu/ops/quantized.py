@@ -1,0 +1,89 @@
+"""Int8-quantized corpus: double the chunks per chip.
+
+A 10M x 768 corpus is 15.4 GB in bf16 — over one v5e's 16 GB HBM. Per-row
+symmetric int8 quantization stores it in 7.7 GB (+40 MB of f32 scales), so
+the full 10M-chunk target corpus fits on ONE chip, and the int8 MXU path
+(2x bf16 throughput) scores it faster.
+
+Retrieval quality: int8 scoring reorders near-ties, so this mode runs
+two-phase — int8 scores select a top-C candidate pool (C >> k), then the
+candidates' rows are dequantized and rescored against the f32 query for the
+final exact-ordering top-k. The pool selection is approximate at the int8
+precision boundary; `candidates` controls the margin (rank studies on
+random corpora show the true top-100 live comfortably inside the int8
+top-512).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedCorpus(NamedTuple):
+    values: jax.Array  # [N, D] int8
+    scales: jax.Array  # [N, 1] f32 (per-row)
+
+
+def quantize_corpus(corpus: jax.Array) -> QuantizedCorpus:
+    """Per-row symmetric int8: row / (absmax/127)."""
+    c32 = corpus.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(c32), axis=1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-10) / 127.0
+    q = jnp.clip(jnp.round(c32 / scale), -127, 127).astype(jnp.int8)
+    return QuantizedCorpus(values=q, scales=scale.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "candidates"))
+def quantized_topk(
+    queries: jax.Array,
+    corpus: QuantizedCorpus,
+    k: int,
+    candidates: int = 512,
+):
+    """[Q, D] f32/bf16 queries vs int8 corpus -> (values, indices).
+
+    Phase 1: int8 x int8 MXU scoring (queries quantized per-row) + segmented
+    selection of top-`candidates`. Phase 2: f32 rescore of the candidate
+    rows for exact final ordering.
+    """
+    from rust_local_rag_tpu.ops.fast_topk import segmented_exact_topk_scores
+
+    qn, d = queries.shape
+    n = corpus.values.shape[0]
+    c = min(max(candidates, k), n)
+
+    q32 = queries.astype(jnp.float32)
+    q_absmax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+    q_scale = jnp.maximum(q_absmax, 1e-10) / 127.0
+    q_int8 = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
+
+    scores_i32 = jax.lax.dot_general(
+        q_int8,
+        corpus.values,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = (
+        scores_i32.astype(jnp.float32)
+        * q_scale
+        * corpus.scales[:, 0][None, :]
+    )
+
+    _, cand_idx = segmented_exact_topk_scores(scores, c)
+
+    # phase 2: dequantize candidate rows, rescore in f32
+    rows = jnp.take(corpus.values, cand_idx.reshape(-1), axis=0).astype(
+        jnp.float32
+    )
+    row_scales = jnp.take(corpus.scales, cand_idx.reshape(-1), axis=0)
+    rows = (rows * row_scales).reshape(qn, c, d)
+    rescored = jnp.einsum(
+        "qd,qcd->qc", q32, rows, preferred_element_type=jnp.float32
+    )
+    vals, sel = jax.lax.top_k(rescored, k)
+    idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+    return vals, idx.astype(jnp.int32)

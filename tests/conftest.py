@@ -23,3 +23,6 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+# Pallas kernels run in interpreter mode on the CPU test platform.
+os.environ.setdefault("RAG_TPU_PALLAS_INTERPRET", "1")

@@ -1,0 +1,48 @@
+"""Pallas fused score+segmax kernel vs references (interpreter mode on CPU;
+the same kernel is verified compiled on real TPU hardware by bench.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rust_local_rag_tpu.ops.pallas_topk import (
+    SEG,
+    fused_score_segmax,
+    pallas_segmented_topk,
+)
+
+
+def _unit(rng, n, d):
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def test_fused_score_segmax_matches_xla(rng):
+    q, n, d = 8, 16384, 256
+    queries = jnp.asarray(_unit(rng, q, d))
+    corpus = jnp.asarray(_unit(rng, n, d))
+    scores, segmax_t = fused_score_segmax(queries, corpus, block_n=2048)
+    ref = jnp.einsum("qd,nd->qn", queries, corpus, preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    ref_segmax = np.asarray(ref).reshape(q, n // SEG, SEG).max(axis=2)
+    np.testing.assert_allclose(np.asarray(segmax_t).T, ref_segmax, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_segmented_topk_exact(rng):
+    q, n, d, k = 8, 16384, 128, 10
+    queries = jnp.asarray(_unit(rng, q, d))
+    corpus = jnp.asarray(_unit(rng, n, d))
+    v, i = pallas_segmented_topk(queries, corpus, k, num_segments=16, block_n=2048)
+    ref = jnp.einsum("qd,nd->qn", queries, corpus, preferred_element_type=jnp.float32)
+    rv, ri = jax.lax.top_k(ref, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_shape_validation(rng):
+    import pytest
+
+    queries = jnp.zeros((4, 128), jnp.float32)
+    corpus = jnp.zeros((1000, 128), jnp.float32)  # not divisible
+    with pytest.raises(ValueError, match="must divide"):
+        fused_score_segmax(queries, corpus, block_n=2048)
