@@ -36,7 +36,7 @@ from rust_local_rag_tpu.models.reranker_service import (
     RerankerService,
 )
 from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
-from rust_local_rag_tpu.ops.hybrid import hybrid_topk
+from rust_local_rag_tpu.ops.hybrid import LEX_WIDTH, hybrid_topk, pack_sparse_lex
 from rust_local_rag_tpu.ops.mmr import mmr_select, mmr_select_host, similarity_matrix
 
 logger = logging.getLogger(__name__)
@@ -301,14 +301,17 @@ class RagEngine:
         )
 
         # Lexical candidates: top (top_k * 5) like the reference
-        # (rag_engine.rs:505), scattered to a slot-aligned dense vector so
-        # chunks outside the lexical top list contribute 0 to the blend.
+        # (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the
+        # device blends them scatter-free (ops/hybrid.py) so chunks outside
+        # the lexical top list contribute 0 to the blend.
         lex_pairs = self.lexical_index.score(query, top_k * 5)
-        capacity = self.store.capacity
-        lex_dense = np.zeros((1, capacity), dtype=np.float32)
-        for cid, s in lex_pairs:
-            if self.store.contains(cid):
-                lex_dense[0, self.store.slot_for_id(cid)] = s
+        lex_slots, lex_vals = pack_sparse_lex(
+            lex_pairs,
+            lambda cid: (
+                self.store.slot_for_id(cid) if self.store.contains(cid) else None
+            ),
+            width=LEX_WIDTH,
+        )
 
         initial_k = min(len(self.store), max(top_k * 3, top_k))
 
@@ -316,7 +319,8 @@ class RagEngine:
             jnp.asarray(q_emb[None, :]),
             self.store.corpus(),
             self.store.valid_mask(),
-            jnp.asarray(lex_dense),
+            jnp.asarray(lex_slots),
+            jnp.asarray(lex_vals),
             jnp.float32(resolved.embedding),
             jnp.float32(resolved.lexical),
             _bucket_k(initial_k),
@@ -491,12 +495,12 @@ class RagEngine:
             return []
         q_emb = _normalize_vec(self.embedding_service.get_query_embedding(query))
         k = min(count, len(self.store))
-        capacity = self.store.capacity
         vals, emb_k, _, idx = hybrid_topk(
             jnp.asarray(q_emb[None, :]),
             self.store.corpus(),
             self.store.valid_mask(),
-            jnp.zeros((1, capacity), dtype=jnp.float32),
+            jnp.full((1, LEX_WIDTH), -1, dtype=jnp.int32),
+            jnp.zeros((1, LEX_WIDTH), dtype=jnp.float32),
             jnp.float32(1.0),
             jnp.float32(0.0),
             _bucket_k(k),

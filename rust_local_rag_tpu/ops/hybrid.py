@@ -2,12 +2,22 @@
 one device program.
 
 This is the boxed hot region of the reference's search call stack
-(SURVEY.md §3.2, rag_engine.rs:515-561) as a single XLA computation:
+(SURVEY.md §3.2, rag_engine.rs:515-561) as a single XLA computation.
 
-    emb    = q @ corpus.T                       (MXU)
-    lex'   = lex / max(lex, f32::EPSILON)       (VPU)
-    comb   = w_e * emb + w_l * lex'             (VPU, fused)
-    top-k over masked slots                     (on-chip)
+The BM25 side arrives SPARSE — the host ships only the top-L (slot, score)
+pairs (L = 512 >= top_k*5 at MAX_TOP_K; rag_engine.rs:505), never an
+N-sized array. The blend is computed scatter-free via a union argument:
+
+    combined = w_e * emb + w_l * lex_norm, with lex_norm >= 0 and nonzero
+    on at most L slots. Boosts only move elements UP, so a non-boosted
+    element's combined-rank is >= its embedding-rank. Hence the true
+    combined top-k is contained in (embedding top-k) ∪ (lexical slots),
+    and an exact top-k over that k+L-candidate union is exact overall.
+
+That keeps the heavy selection on the pure-embedding scores (where the
+segmented exact kernel applies) and reduces the blend to O(Q * (k + L))
+work, with no dynamic scatters (which compile pathologically on some TPU
+toolchains).
 
 Returns the per-candidate score breakdown (combined, embedding, normalized
 lexical) that the reference carries through SearchCandidate
@@ -23,13 +33,17 @@ import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-jnp.inf)
 
+# fixed sparse width for lexical hits: top_k*5 <= 500 (MAX_TOP_K = 100)
+LEX_WIDTH = 512
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def hybrid_topk(
     queries: jax.Array,      # [Q, D] unit-normalized
     corpus: jax.Array,       # [N, D] slab (padded/holed)
     valid_mask: jax.Array,   # [N] bool
-    lex_dense: jax.Array,    # [Q, N] raw BM25 scattered to slots (0 elsewhere)
+    lex_slots: jax.Array,    # [Q, L] int32 slot of each BM25 hit (-1 = pad)
+    lex_vals: jax.Array,     # [Q, L] f32 raw BM25 scores (0 on pads)
     w_embedding: jax.Array,  # scalar
     w_lexical: jax.Array,    # scalar
     k: int,
@@ -39,6 +53,10 @@ def hybrid_topk(
     Invalid slots get -inf combined scores; if fewer than k valid slots
     exist the tail carries -inf/-1 sentinels.
     """
+    qn = queries.shape[0]
+    n = corpus.shape[0]
+    L = lex_slots.shape[1]
+
     emb = jnp.einsum(
         "qd,nd->qn",
         queries,
@@ -46,33 +64,90 @@ def hybrid_topk(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    lex = lex_dense.astype(jnp.float32)
-    # per-query max over candidates, floored at f32::EPSILON
-    # (rag_engine.rs:515-519)
-    max_lex = jnp.maximum(
-        jnp.max(lex, axis=-1, keepdims=True), jnp.float32(1.1920929e-07)
-    )
-    lex_norm = lex / max_lex
-    combined = w_embedding * emb + w_lexical * lex_norm
+    masked_emb = jnp.where(valid_mask[None, :], emb, NEG_INF)
 
-    masked = jnp.where(valid_mask[None, :], combined, NEG_INF)
-    k_eff = min(k, corpus.shape[0])
-    if corpus.shape[0] >= 65536:
-        # large slab: segmented exact selection beats XLA's full sort ~4x
+    # pure-embedding top-k (the heavy selection)
+    k_eff = min(k, n)
+    if n >= 65536:
         from rust_local_rag_tpu.ops.fast_topk import (
             segmented_exact_topk_scores,
         )
 
-        vals, idx = segmented_exact_topk_scores.__wrapped__(masked, k_eff)
+        e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
+            masked_emb, k_eff
+        )
     else:
-        vals, idx = jax.lax.top_k(masked, k_eff)
+        e_vals, e_idx = jax.lax.top_k(masked_emb, k_eff)
     if k_eff < k:
-        q = queries.shape[0]
-        vals = jnp.pad(vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF)
-        idx = jnp.pad(idx, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        e_vals = jnp.pad(
+            e_vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF
+        )
+        e_idx = jnp.pad(e_idx, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    e_idx = e_idx.astype(jnp.int32)
 
-    emb_k = jnp.take_along_axis(emb, jnp.maximum(idx, 0), axis=1)
-    lex_k = jnp.take_along_axis(lex_norm, jnp.maximum(idx, 0), axis=1)
+    # lexical normalization: per-query max over the hit list, floored at
+    # f32::EPSILON (rag_engine.rs:515-519)
+    lex_pad = lex_slots < 0
+    lv = jnp.where(lex_pad, 0.0, lex_vals.astype(jnp.float32))
+    max_lex = jnp.maximum(
+        jnp.max(lv, axis=1, keepdims=True), jnp.float32(1.1920929e-07)
+    )
+    lex_norm_sparse = lv / max_lex  # [Q, L]
+
+    # embedding-side candidates: add any lexical contribution they have
+    # (an e_idx element that is also a lex slot needs its boost)
+    match_e = e_idx[:, :, None] == jnp.where(lex_pad, -2, lex_slots)[:, None, :]
+    e_lexn = jnp.sum(
+        jnp.where(match_e, lex_norm_sparse[:, None, :], 0.0), axis=2
+    )  # [Q, k]
+    e_invalid = e_idx < 0
+    e_comb = jnp.where(
+        e_invalid, NEG_INF, w_embedding * e_vals + w_lexical * e_lexn
+    )
+
+    # lexical-side candidates: gather their embedding scores; drop pads,
+    # invalid slots, and duplicates already present on the embedding side
+    safe_slots = jnp.where(lex_pad, 0, lex_slots)
+    l_emb = jnp.take_along_axis(masked_emb, safe_slots, axis=1)  # [Q, L]
+    dup = jnp.any(
+        lex_slots[:, :, None] == jnp.where(e_invalid, -2, e_idx)[:, None, :],
+        axis=2,
+    )
+    l_dead = lex_pad | dup | ~jnp.isfinite(l_emb)
+    l_comb = jnp.where(
+        l_dead, NEG_INF, w_embedding * l_emb + w_lexical * lex_norm_sparse
+    )
+
+    # exact top-k over the union
+    all_comb = jnp.concatenate([e_comb, l_comb], axis=1)        # [Q, k+L]
+    all_emb = jnp.concatenate([e_vals, l_emb], axis=1)
+    all_lexn = jnp.concatenate([e_lexn, lex_norm_sparse], axis=1)
+    all_idx = jnp.concatenate([e_idx, lex_slots], axis=1)
+
+    vals, sel = jax.lax.top_k(all_comb, k)
+    idx = jnp.take_along_axis(all_idx, sel, axis=1)
+    emb_k = jnp.take_along_axis(all_emb, sel, axis=1)
+    lex_k = jnp.take_along_axis(all_lexn, sel, axis=1)
+
     invalid = vals == NEG_INF
     idx = jnp.where(invalid, -1, idx)
+    del qn
     return vals, emb_k, lex_k, idx.astype(jnp.int32)
+
+
+def pack_sparse_lex(pairs, slot_for_id, width: int = LEX_WIDTH):
+    """Host helper: [(chunk_id, score)] -> ([1, width] slots, [1, width]
+    vals) int32/f32 numpy arrays, -1-padded."""
+    import numpy as np
+
+    slots = np.full((1, width), -1, dtype=np.int32)
+    vals = np.zeros((1, width), dtype=np.float32)
+    j = 0
+    for cid, score in pairs:
+        slot = slot_for_id(cid)
+        if slot is None or j >= width:
+            continue
+        slots[0, j] = slot
+        vals[0, j] = score
+        j += 1
+    return slots, vals

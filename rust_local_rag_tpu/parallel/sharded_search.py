@@ -72,10 +72,30 @@ def sharded_topk(
         base = shard_id * rows_per_shard
         # local valid rows: clamp(global_valid - base, 0, rows_per_shard)
         local_valid = jnp.clip(vc_arr[0] - base, 0, rows_per_shard)
-        vals, idx = streaming_topk(
-            q, c_shard, k, tile_n=tile_n, valid_count=local_valid,
-            precision=precision,
-        )
+        if rows_per_shard >= 65536:
+            # big shard: fused scores + segmented exact selection beats the
+            # per-tile-sort streaming path ~4x (see ops/fast_topk.py)
+            from rust_local_rag_tpu.ops.fast_topk import (
+                segmented_exact_topk_scores,
+            )
+
+            scores = jnp.einsum(
+                "qd,nd->qn",
+                q,
+                c_shard,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (q.shape[0], rows_per_shard), 1
+            )
+            scores = jnp.where(col < local_valid, scores, -jnp.inf)
+            vals, idx = segmented_exact_topk_scores.__wrapped__(scores, k)
+        else:
+            vals, idx = streaming_topk(
+                q, c_shard, k, tile_n=tile_n, valid_count=local_valid,
+                precision=precision,
+            )
         idx = jnp.where(idx >= rows_per_shard, rows_per_shard, idx)
         gidx = base + idx
         # gather every shard's candidates: [n_shards, Q, k]

@@ -150,3 +150,26 @@ def test_train_params_actually_sharded():
     assert sh.spec == jax.sharding.PartitionSpec(None, "model")
     # norms replicated
     assert params["final_norm"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_topk_large_shard_segmented_path(rng):
+    """Exercise the segmented local-selection branch (rows/shard >= 64k)."""
+    d, k = 16, 8
+    n = 8 * 65536  # 64k rows per shard on the 8-way mesh
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    queries = corpus[:2].copy()
+    mesh = build_mesh()
+    vals, idx = sharded_topk(
+        replicate(jnp.asarray(queries), mesh),
+        shard_corpus(jnp.asarray(corpus), mesh),
+        k,
+        mesh,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx[:, 0] == np.arange(2)).all()
+    np.testing.assert_allclose(vals[:, 0], 1.0, atol=1e-5)
+    ref = queries @ corpus.T
+    for qi in range(2):
+        want = set(np.argsort(-ref[qi])[:k].tolist())
+        assert set(idx[qi].tolist()) == want
