@@ -290,33 +290,56 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
     ) -> List[SearchResult]:
         """Two-stage retrieval (rag_engine.rs:470-701)."""
-        if len(self.store) == 0:
-            return []
+        return self.search_batch([query], top_k, weights)[0]
+
+    def search_batch(
+        self,
+        queries: List[str],
+        top_k: int,
+        weights: Optional[QueryWeights] = None,
+    ) -> List[List[SearchResult]]:
+        """Batched two-stage retrieval: the whole query batch rides ONE
+        fused first-stage device program and ONE batched rerank forward —
+        the server's micro-batcher coalesces concurrent requests into this
+        (the reference is strictly one-query-at-a-time)."""
+        if len(self.store) == 0 or not queries:
+            return [[] for _ in queries]
 
         resolved = ResolvedWeights.from_query_weights(weights)
         top_k = max(top_k, 1)
+        nq = len(queries)
 
-        q_emb = _normalize_vec(
-            self.embedding_service.get_query_embedding(query)
+        q_emb = np.stack(
+            [
+                _normalize_vec(self.embedding_service.get_query_embedding(q))
+                for q in queries
+            ]
         )
 
-        # Lexical candidates: top (top_k * 5) like the reference
+        # Lexical candidates per query: top (top_k * 5) like the reference
         # (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the
         # device blends them scatter-free (ops/hybrid.py) so chunks outside
         # the lexical top list contribute 0 to the blend.
-        lex_pairs = self.lexical_index.score(query, top_k * 5)
-        lex_slots, lex_vals = pack_sparse_lex(
-            lex_pairs,
-            lambda cid: (
-                self.store.slot_for_id(cid) if self.store.contains(cid) else None
-            ),
-            width=LEX_WIDTH,
-        )
+        lex_slots = np.full((nq, LEX_WIDTH), -1, dtype=np.int32)
+        lex_vals = np.zeros((nq, LEX_WIDTH), dtype=np.float32)
+        for qi, query in enumerate(queries):
+            pairs = self.lexical_index.score(query, top_k * 5)
+            s, v = pack_sparse_lex(
+                pairs,
+                lambda cid: (
+                    self.store.slot_for_id(cid)
+                    if self.store.contains(cid)
+                    else None
+                ),
+                width=LEX_WIDTH,
+            )
+            lex_slots[qi] = s[0]
+            lex_vals[qi] = v[0]
 
         initial_k = min(len(self.store), max(top_k * 3, top_k))
 
-        vals, emb_k, lex_k, idx = hybrid_topk(
-            jnp.asarray(q_emb[None, :]),
+        vals_b, emb_b, lex_b, idx_b = hybrid_topk(
+            jnp.asarray(q_emb),
             self.store.corpus(),
             self.store.valid_mask(),
             jnp.asarray(lex_slots),
@@ -325,50 +348,104 @@ class RagEngine:
             jnp.float32(resolved.lexical),
             _bucket_k(initial_k),
         )
-        vals = np.asarray(vals)[0][:initial_k]
-        emb_k = np.asarray(emb_k)[0][:initial_k]
-        lex_k = np.asarray(lex_k)[0][:initial_k]
-        idx = np.asarray(idx)[0][:initial_k]
+        vals_b = np.asarray(vals_b)[:, :initial_k]
+        emb_b = np.asarray(emb_b)[:, :initial_k]
+        lex_b = np.asarray(lex_b)[:, :initial_k]
+        idx_b = np.asarray(idx_b)[:, :initial_k]
 
-        candidates: List[dict] = []
-        for rank in range(len(idx)):
-            slot = int(idx[rank])
-            if slot < 0 or not np.isfinite(vals[rank]):
-                continue
-            meta = self.store.meta_for_slot(slot)
-            candidates.append(
-                {
-                    "slot": slot,
-                    "meta": meta,
-                    "initial_score": float(vals[rank]),
-                    "embedding_score": float(emb_k[rank]),
-                    "lexical_score": float(lex_k[rank]),
-                }
+        per_query_candidates: List[List[dict]] = []
+        for qi in range(nq):
+            candidates: List[dict] = []
+            for rank in range(initial_k):
+                slot = int(idx_b[qi, rank])
+                if slot < 0 or not np.isfinite(vals_b[qi, rank]):
+                    continue
+                meta = self.store.meta_for_slot(slot)
+                candidates.append(
+                    {
+                        "slot": slot,
+                        "meta": meta,
+                        "initial_score": float(vals_b[qi, rank]),
+                        "embedding_score": float(emb_b[qi, rank]),
+                        "lexical_score": float(lex_b[qi, rank]),
+                    }
+                )
+            per_query_candidates.append(candidates)
+
+        # Rerank: ALL queries' candidates in one batched device forward.
+        per_query_reranked: List[list] = [[] for _ in range(nq)]
+        if self.reranker is not None:
+            flat_inputs = []
+            for qi, candidates in enumerate(per_query_candidates):
+                for c in candidates:
+                    flat_inputs.append(
+                        (
+                            qi,
+                            RerankerCandidate(
+                                chunk_id=c["meta"].id,
+                                document=c["meta"].document_name,
+                                text=c["meta"].text,
+                                page_number=c["meta"].page_number,
+                                section=c["meta"].section,
+                                initial_score=c["initial_score"],
+                            ),
+                        )
+                    )
+            if flat_inputs:
+                try:
+                    per_query_reranked = self._rerank_flat(
+                        queries, flat_inputs, nq
+                    )
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(
+                        "Reranker failed, falling back to embedding scores: %s",
+                        e,
+                    )
+                    per_query_reranked = [[] for _ in range(nq)]
+
+        return [
+            self._blend_and_fill(
+                per_query_candidates[qi],
+                per_query_reranked[qi],
+                resolved,
+                top_k,
             )
+            for qi in range(nq)
+        ]
+
+    def _rerank_flat(self, queries, flat_inputs, nq):
+        """Score every (query, candidate) pair in one device pass; regroup
+        and sort per query (reranker.rs:261-266 ordering)."""
+        from rust_local_rag_tpu.models.reranker_service import RerankedResult
+
+        prompts = [
+            self.reranker.build_prompt(queries[qi], cand)
+            for qi, cand in flat_inputs
+        ]
+        scored = self.reranker._model.score_prompts(prompts)
+        grouped: List[list] = [[] for _ in range(nq)]
+        for (qi, cand), (s, y, n) in zip(flat_inputs, scored):
+            grouped[qi].append(
+                RerankedResult(
+                    chunk_id=cand.chunk_id,
+                    relevance=float(s),
+                    yes_logprob=y,
+                    no_logprob=n,
+                )
+            )
+        for g in grouped:
+            g.sort(key=lambda r: -r.relevance)
+        return grouped
+
+    def _blend_and_fill(
+        self,
+        candidates: List[dict],
+        reranked: list,
+        resolved: ResolvedWeights,
+        top_k: int,
+    ) -> List[SearchResult]:
         if not candidates:
             return []
-
-        reranked = []
-        if self.reranker is not None:
-            rr_inputs = [
-                RerankerCandidate(
-                    chunk_id=c["meta"].id,
-                    document=c["meta"].document_name,
-                    text=c["meta"].text,
-                    page_number=c["meta"].page_number,
-                    section=c["meta"].section,
-                    initial_score=c["initial_score"],
-                )
-                for c in candidates
-            ]
-            try:
-                reranked = self.reranker.rerank(query, rr_inputs)
-            except Exception as e:  # noqa: BLE001
-                logger.warning(
-                    "Reranker failed, falling back to embedding scores: %s", e
-                )
-                reranked = []
-
         by_id = {c["meta"].id: c for c in candidates}
         ordered: List[SearchResult] = []
         seen: set = set()
@@ -444,15 +521,35 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
     ) -> List[SearchResult]:
         """MMR-diversified search (rag_engine.rs:717-759)."""
+        return self.search_with_diversity_batch(
+            [query], top_k, diversity_factor, weights
+        )[0]
+
+    def search_with_diversity_batch(
+        self,
+        queries: List[str],
+        top_k: int,
+        diversity_factor: float,
+        weights: Optional[QueryWeights] = None,
+    ) -> List[List[SearchResult]]:
+        """Batched MMR-diversified search: one device pass for the pool
+        retrieval of the whole batch, per-query MMR selection."""
         diversity_factor = min(max(diversity_factor, 0.0), 1.0)
         if diversity_factor == 0.0:
-            return self.search(query, top_k, weights)
+            return self.search_batch(queries, top_k, weights)
 
         pool = max(top_k * 3, top_k + 10)
-        results = self.search(query, pool, weights)
+        pooled = self.search_batch(queries, pool, weights)
+        return [
+            self._mmr_one(results, top_k, diversity_factor)
+            for results in pooled
+        ]
+
+    def _mmr_one(
+        self, results: List[SearchResult], top_k: int, diversity_factor: float
+    ) -> List[SearchResult]:
         if not results:
             return []
-
         results = [r for r in results if self.store.contains(r.chunk_id)]
         slots = [self.store.slot_for_id(r.chunk_id) for r in results]
         n = len(results)

@@ -28,8 +28,9 @@ from rust_local_rag_tpu.config import (
     QueryWeights,
     get_mcp_http_endpoint,
 )
-from rust_local_rag_tpu.jobs.job_manager import JobManager, JobType
+from rust_local_rag_tpu.jobs.job_manager import JobManager
 from rust_local_rag_tpu.jobs.worker import JobRequest, WorkerSupervisor
+from rust_local_rag_tpu.server.batcher import SearchBatcher
 from rust_local_rag_tpu.server.mcp import McpHandler
 from rust_local_rag_tpu.utils.rwlock import RwLock
 
@@ -53,14 +54,13 @@ class AppContext:
         self.job_manager = job_manager
         self.supervisor = supervisor
         self.documents_dir = documents_dir
+        # coalesces concurrent searches into one device pass
+        self.batcher = SearchBatcher(engine, engine_lock)
 
     # --- sync operations (called inside an executor) ---
 
     def search(self, query, top_k, diversity, weights: Optional[QueryWeights]):
-        with self.engine_lock.read():
-            return self.engine.search_with_diversity(
-                query, top_k, diversity, weights
-            )
+        return self.batcher.search(query, top_k, diversity, weights)
 
     def list_documents(self):
         with self.engine_lock.read():
