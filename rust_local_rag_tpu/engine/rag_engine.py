@@ -37,7 +37,12 @@ from rust_local_rag_tpu.models.reranker_service import (
 )
 from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
 from rust_local_rag_tpu.ops.hybrid import LEX_WIDTH, hybrid_topk, pack_sparse_lex
-from rust_local_rag_tpu.ops.mmr import mmr_select, mmr_select_host, similarity_matrix
+from rust_local_rag_tpu.ops.mmr import (
+    mmr_select,
+    mmr_select_host,
+    similarity_matrices,
+    similarity_matrix,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -540,10 +545,39 @@ class RagEngine:
 
         pool = max(top_k * 3, top_k + 10)
         pooled = self.search_batch(queries, pool, weights)
-        return [
-            self._mmr_one(results, top_k, diversity_factor)
+        if len(pooled) == 1 or self._device_mmr:
+            return [
+                self._mmr_one(results, top_k, diversity_factor)
+                for results in pooled
+            ]
+
+        # Batched MMR: one device call computes ALL queries' candidate
+        # similarity matrices; the tiny greedy scans run on host per query.
+        kept = [
+            [r for r in results if self.store.contains(r.chunk_id)]
             for results in pooled
         ]
+        p_pad = _bucket_k(max((len(r) for r in kept), default=0) or 1)
+        slots_arr = np.zeros((len(kept), p_pad), dtype=np.int32)
+        for qi, results in enumerate(kept):
+            for j, r in enumerate(results):
+                slots_arr[qi, j] = self.store.slot_for_id(r.chunk_id)
+        emb = jnp.take(
+            self.store.corpus(), jnp.asarray(slots_arr.reshape(-1)), axis=0
+        ).reshape(len(kept), p_pad, -1)
+        sims_all = np.asarray(similarity_matrices(emb))
+        out: List[List[SearchResult]] = []
+        for qi, results in enumerate(kept):
+            n = len(results)
+            if n == 0:
+                out.append([])
+                continue
+            rel = np.asarray([r.score for r in results], dtype=np.float32)
+            selected = mmr_select_host(
+                sims_all[qi][:n, :n], rel, top_k, diversity_factor
+            )
+            out.append([results[i] for i in selected])
+        return out
 
     def _mmr_one(
         self, results: List[SearchResult], top_k: int, diversity_factor: float

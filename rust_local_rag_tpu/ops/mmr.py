@@ -35,6 +35,20 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 @jax.jit
+def similarity_matrices(embeddings: jax.Array) -> jax.Array:
+    """[Q, P, D] -> [Q, P, P] pairwise dot products for a BATCH of MMR
+    candidate pools in one device call (the batched search path feeds all
+    queries' pools together; one dispatch instead of Q)."""
+    return jnp.einsum(
+        "qpd,qrd->qpr",
+        embeddings,
+        embeddings,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@jax.jit
 def similarity_matrix(embeddings: jax.Array) -> jax.Array:
     """[P, D] -> [P, P] pairwise dot products (one MXU matmul, f32).
 
