@@ -314,12 +314,8 @@ class RagEngine:
         top_k = max(top_k, 1)
         nq = len(queries)
 
-        q_emb = np.stack(
-            [
-                _normalize_vec(self.embedding_service.get_query_embedding(q))
-                for q in queries
-            ]
-        )
+        q_emb = self.embedding_service.get_query_embeddings(queries)
+        q_emb = np.stack([_normalize_vec(q_emb[i]) for i in range(len(queries))])
 
         # Lexical candidates per query: top (top_k * 5) like the reference
         # (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the

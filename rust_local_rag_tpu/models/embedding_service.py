@@ -64,6 +64,21 @@ class EmbeddingService:
         self._cache.put(text, emb)
         return emb
 
+    def get_query_embeddings(self, texts: Sequence[str]) -> np.ndarray:
+        """Batch variant of get_query_embedding: ALL cache misses are
+        embedded in ONE model call (a burst of q unseen queries costs one
+        encoder forward, not q), and every result enters the LRU."""
+        out: List[Optional[np.ndarray]] = [self._cache.get(t) for t in texts]
+        missing = [i for i, e in enumerate(out) if e is None]
+        if missing:
+            embs = self.embed_texts([texts[i] for i in missing])
+            for j, i in enumerate(missing):
+                out[i] = embs[j]
+                self._cache.put(texts[i], embs[j])
+        if not out:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return np.stack(out)  # type: ignore[arg-type]
+
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Batch embed; falls back to sequential on batch failure."""
         if not texts:

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rust_local_rag_tpu.models.tokenizer import load_tokenizer
+from rust_local_rag_tpu.models.tokenizer import bucket_batch, load_tokenizer
 
 logger = logging.getLogger(__name__)
 
@@ -203,10 +203,19 @@ class TransformerEncoderModel:
         if not texts:
             return np.zeros((0, self.cfg.dim), dtype=np.float32)
         ids, mask = self.tokenizer.encode_batch(texts)
+        n = ids.shape[0]
+        nb = bucket_batch(n)  # bound compiled batch shapes
+        if nb > n:
+            pad = np.zeros((nb - n, ids.shape[1]), dtype=ids.dtype)
+            ids = np.concatenate([ids, pad], axis=0)
+            mask = np.concatenate(
+                [mask, np.zeros_like(pad)], axis=0
+            )
+            mask[n:, 0] = 1  # one valid token so pooling stays finite
         out = _jit_forward(
             self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg
         )
-        return np.asarray(out)
+        return np.asarray(out)[:n]
 
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         return self.encode(texts)

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rust_local_rag_tpu.models.tokenizer import load_tokenizer
+from rust_local_rag_tpu.models.tokenizer import bucket_batch, load_tokenizer
 from rust_local_rag_tpu.models.fake_encoder import HashEncoder
 
 logger = logging.getLogger(__name__)
@@ -227,6 +227,14 @@ class TransformerReranker:
         if not prompts:
             return []
         ids, mask = self.tokenizer.encode_batch(list(prompts))
+        n = ids.shape[0]
+        nb = bucket_batch(n)  # bound compiled batch shapes
+        if nb > n:
+            pad = np.zeros((nb - n, ids.shape[1]), dtype=ids.dtype)
+            ids = np.concatenate([ids, pad], axis=0)
+            pm = np.zeros_like(pad)
+            pm[:, 0] = 1
+            mask = np.concatenate([mask, pm], axis=0)
         yes_lp, no_lp = _jit_yes_no_logprobs(
             self.params,
             jnp.asarray(ids),
@@ -235,11 +243,11 @@ class TransformerReranker:
             self._no_id,
             self.cfg,
         )
-        yes_lp = np.asarray(yes_lp, dtype=np.float64)
-        no_lp = np.asarray(no_lp, dtype=np.float64)
+        yes_lp = np.asarray(yes_lp, dtype=np.float64)[:n]
+        no_lp = np.asarray(no_lp, dtype=np.float64)[:n]
         return [
-            (softmax_yes_no(float(y), float(n)), float(y), float(n))
-            for y, n in zip(yes_lp, no_lp)
+            (softmax_yes_no(float(y), float(nn)), float(y), float(nn))
+            for y, nn in zip(yes_lp, no_lp)
         ]
 
 

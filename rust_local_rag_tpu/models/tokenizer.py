@@ -41,6 +41,15 @@ def bucket_length(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     return buckets[-1]
 
 
+def bucket_batch(n: int) -> int:
+    """Round a batch dimension up to a power of two (bounds the number of
+    compiled batch shapes; padded rows are dropped by the caller)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class HashTokenizer:
     """Deterministic hashing tokenizer (vocab-free).
 
