@@ -8,7 +8,7 @@ from __future__ import annotations
 import json
 import os
 import zlib
-from typing import Dict, List, Tuple
+from typing import List
 
 # Each topic: (document name, category, pages of text, queries with the
 # gold page). Text is written so distinct topics share little vocabulary.

@@ -1,0 +1,57 @@
+"""Model checkpointing: params pytree <-> safetensors.
+
+Completes the checkpoint/resume story for trained encoders/rerankers
+(SURVEY.md §5.4 covers the index + job stores; this covers model weights):
+save after fine-tuning (parallel/train.py), load at startup via
+ENCODER_WEIGHTS / RERANKER_WEIGHTS. Flat naming matches
+models/encoder.load_safetensors_params: `embed`, `final_norm`, `lm_head`,
+`layers.N.<name>`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def flatten_params(params: Dict) -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    for key, val in params.items():
+        if key == "layers":
+            for i, layer in enumerate(val):
+                for name, arr in layer.items():
+                    flat[f"layers.{i}.{name}"] = np.asarray(arr)
+        else:
+            flat[key] = np.asarray(val)
+    return flat
+
+
+def save_params(params: Dict, path: str) -> None:
+    """Write a params pytree to a safetensors file (atomic via temp+rename)."""
+    import os
+    import tempfile
+
+    from safetensors.numpy import save_file
+
+    flat = flatten_params(params)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".safetensors.tmp")
+    os.close(fd)
+    try:
+        save_file(flat, tmp)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_params(path: str) -> Dict:
+    """Inverse of save_params (same loader the models use at startup)."""
+    from rust_local_rag_tpu.models.encoder import load_safetensors_params
+
+    return load_safetensors_params(path)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

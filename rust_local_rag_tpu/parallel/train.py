@@ -18,7 +18,6 @@ pipeline stages, sequences are ~200-token chunks, and there are no experts
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

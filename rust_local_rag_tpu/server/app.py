@@ -10,7 +10,6 @@ timeout and 5 s save timeout.
 
 from __future__ import annotations
 
-import asyncio
 import json
 import logging
 import logging.handlers

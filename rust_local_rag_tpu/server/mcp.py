@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import logging
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 from rust_local_rag_tpu.config import MAX_TOP_K, QueryWeights
 from rust_local_rag_tpu.server.formatting import format_search_results

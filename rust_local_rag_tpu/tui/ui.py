@@ -6,7 +6,7 @@ import curses
 from typing import List
 
 from rust_local_rag_tpu.tui.app import AppState, Mode
-from rust_local_rag_tpu.tui.settings import SETTING_KEYS, Settings
+from rust_local_rag_tpu.tui.settings import Settings
 from rust_local_rag_tpu.tui.theme import Theme
 
 _COLOR_IDS = {
