@@ -20,6 +20,7 @@ class SearchResult:
     text: str
     score: float
     section: Optional[str] = None
+    embedding_score: Optional[float] = None
 
 
 @dataclass
@@ -61,6 +62,7 @@ class RAGClient:
                     text=r.get("text", ""),
                     score=float(r.get("score", r.get("relevance_score", 0.0))),
                     section=r.get("section"),
+                    embedding_score=r.get("embedding_score"),
                 )
             )
         return out

@@ -93,10 +93,20 @@ class EvalRunner:
         results = resp.results
 
         if gt.is_rejection:
-            # success = nothing confidently relevant returned
+            # success = nothing confidently relevant returned. Blended
+            # scores are per-query max-normalized (the top hit is ~1.0 by
+            # construction, same as the reference), so the rejection signal
+            # uses the ABSOLUTE cosine (embedding_score) when available.
+            def confidence(r):
+                return (
+                    r.embedding_score
+                    if r.embedding_score is not None
+                    else r.score
+                )
+
             relevant = [
                 r for r in results
-                if r.score >= self.config.rejection_score_threshold
+                if confidence(r) >= self.config.rejection_score_threshold
             ]
             success = len(relevant) == 0
             return {
