@@ -90,7 +90,7 @@ def main() -> None:
         def loop(qall, corpus):
             def step(carry, qs):
                 qs = (qs.astype(jnp.float32) + carry * 1e-6).astype(jnp.bfloat16)
-                v, _ = pallas_segmented_topk.__wrapped__(qs, corpus, k)
+                v, _ = pallas_segmented_topk.__wrapped__(qs, corpus, k, num_segments=128)
                 return jnp.sum(v).astype(jnp.float32), ()
             c, _ = jax.lax.scan(step, jnp.float32(0), qall)
             return c

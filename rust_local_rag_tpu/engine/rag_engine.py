@@ -302,13 +302,15 @@ class RagEngine:
         queries: List[str],
         top_k: int,
         weights: Optional[QueryWeights] = None,
-    ) -> List[List[SearchResult]]:
+        collect_sims: bool = False,
+    ):
         """Batched two-stage retrieval: the whole query batch rides ONE
         fused first-stage device program and ONE batched rerank forward —
         the server's micro-batcher coalesces concurrent requests into this
         (the reference is strictly one-query-at-a-time)."""
         if len(self.store) == 0 or not queries:
-            return [[] for _ in queries]
+            empty = [[] for _ in queries]
+            return (empty, None) if collect_sims else empty
 
         resolved = ResolvedWeights.from_query_weights(weights)
         top_k = max(top_k, 1)
@@ -339,7 +341,7 @@ class RagEngine:
 
         initial_k = min(len(self.store), max(top_k * 3, top_k))
 
-        vals_b, emb_b, lex_b, idx_b = hybrid_topk(
+        out = hybrid_topk(
             jnp.asarray(q_emb),
             self.store.corpus(),
             self.store.valid_mask(),
@@ -348,7 +350,14 @@ class RagEngine:
             jnp.float32(resolved.embedding),
             jnp.float32(resolved.lexical),
             _bucket_k(initial_k),
+            with_sims=collect_sims,
         )
+        if collect_sims:
+            vals_b, emb_b, lex_b, idx_b, sims_b = out
+            sims_b = np.asarray(sims_b)
+        else:
+            vals_b, emb_b, lex_b, idx_b = out
+            sims_b = None
         vals_b = np.asarray(vals_b)[:, :initial_k]
         emb_b = np.asarray(emb_b)[:, :initial_k]
         lex_b = np.asarray(lex_b)[:, :initial_k]
@@ -365,6 +374,7 @@ class RagEngine:
                 candidates.append(
                     {
                         "slot": slot,
+                        "rank": rank,  # row in the device candidate order
                         "meta": meta,
                         "initial_score": float(vals_b[qi, rank]),
                         "embedding_score": float(emb_b[qi, rank]),
@@ -404,7 +414,7 @@ class RagEngine:
                     )
                     per_query_reranked = [[] for _ in range(nq)]
 
-        return [
+        outputs = [
             self._blend_and_fill(
                 per_query_candidates[qi],
                 per_query_reranked[qi],
@@ -413,6 +423,14 @@ class RagEngine:
             )
             for qi in range(nq)
         ]
+        if not collect_sims:
+            return outputs
+        # map each returned result's chunk_id to its device candidate rank
+        rank_maps = [
+            {c["meta"].id: c["rank"] for c in per_query_candidates[qi]}
+            for qi in range(nq)
+        ]
+        return outputs, (sims_b, rank_maps)
 
     def _rerank_flat(self, queries, flat_inputs, nq):
         """Score every (query, candidate) pair in one device pass; regroup
@@ -540,38 +558,36 @@ class RagEngine:
             return self.search_batch(queries, top_k, weights)
 
         pool = max(top_k * 3, top_k + 10)
-        pooled = self.search_batch(queries, pool, weights)
-        if len(pooled) == 1 or self._device_mmr:
+        if self._device_mmr:
+            pooled = self.search_batch(queries, pool, weights)
             return [
                 self._mmr_one(results, top_k, diversity_factor)
                 for results in pooled
             ]
 
-        # Batched MMR: one device call computes ALL queries' candidate
-        # similarity matrices; the tiny greedy scans run on host per query.
-        kept = [
-            [r for r in results if self.store.contains(r.chunk_id)]
-            for results in pooled
-        ]
-        p_pad = _bucket_k(max((len(r) for r in kept), default=0) or 1)
-        slots_arr = np.zeros((len(kept), p_pad), dtype=np.int32)
-        for qi, results in enumerate(kept):
-            for j, r in enumerate(results):
-                slots_arr[qi, j] = self.store.slot_for_id(r.chunk_id)
-        emb = jnp.take(
-            self.store.corpus(), jnp.asarray(slots_arr.reshape(-1)), axis=0
-        ).reshape(len(kept), p_pad, -1)
-        sims_all = np.asarray(similarity_matrices(emb))
+        # The candidate similarity matrices come back fused with the SAME
+        # first-stage dispatch (hybrid_topk with_sims) — zero extra device
+        # round trips; the tiny greedy scans run on host per query.
+        pooled, sims_info = self.search_batch(
+            queries, pool, weights, collect_sims=True
+        )
+        if sims_info is None:
+            return pooled
+        sims_b, rank_maps = sims_info
         out: List[List[SearchResult]] = []
-        for qi, results in enumerate(kept):
+        for qi, results in enumerate(pooled):
+            rank_map = rank_maps[qi]
+            results = [r for r in results if r.chunk_id in rank_map]
             n = len(results)
             if n == 0:
                 out.append([])
                 continue
-            rel = np.asarray([r.score for r in results], dtype=np.float32)
-            selected = mmr_select_host(
-                sims_all[qi][:n, :n], rel, top_k, diversity_factor
+            ranks = np.asarray(
+                [rank_map[r.chunk_id] for r in results], dtype=np.int64
             )
+            sims = sims_b[qi][np.ix_(ranks, ranks)]
+            rel = np.asarray([r.score for r in results], dtype=np.float32)
+            selected = mmr_select_host(sims, rel, top_k, diversity_factor)
             out.append([results[i] for i in selected])
         return out
 

@@ -37,7 +37,7 @@ NEG_INF = jnp.float32(-jnp.inf)
 LEX_WIDTH = 512
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "with_sims"))
 def hybrid_topk(
     queries: jax.Array,      # [Q, D] unit-normalized
     corpus: jax.Array,       # [N, D] slab (padded/holed)
@@ -47,8 +47,14 @@ def hybrid_topk(
     w_embedding: jax.Array,  # scalar
     w_lexical: jax.Array,    # scalar
     k: int,
+    with_sims: bool = False,
 ):
-    """-> (combined [Q,k], embedding [Q,k], lexical_norm [Q,k], idx [Q,k]).
+    """-> (combined [Q,k], embedding [Q,k], lexical_norm [Q,k], idx [Q,k]
+    [, cand_sims [Q,k,k]]).
+
+    with_sims=True additionally returns the pairwise similarity matrix of
+    the k selected candidates (for MMR) inside the SAME device dispatch —
+    a separate dispatch costs ~50 ms through a TPU tunnel.
 
     Invalid slots get -inf combined scores; if fewer than k valid slots
     exist the tail carries -inf/-1 sentinels.
@@ -131,8 +137,22 @@ def hybrid_topk(
 
     invalid = vals == NEG_INF
     idx = jnp.where(invalid, -1, idx)
-    del qn
-    return vals, emb_k, lex_k, idx.astype(jnp.int32)
+    if not with_sims:
+        return vals, emb_k, lex_k, idx.astype(jnp.int32)
+
+    # candidate pairwise similarities for MMR, fused into this dispatch
+    safe = jnp.maximum(idx, 0)  # [Q, k]
+    cand_emb = jnp.take(corpus, safe.reshape(-1), axis=0).reshape(
+        qn, k, corpus.shape[1]
+    )
+    cand_sims = jnp.einsum(
+        "qkd,qjd->qkj",
+        cand_emb,
+        cand_emb,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return vals, emb_k, lex_k, idx.astype(jnp.int32), cand_sims
 
 
 def pack_sparse_lex(pairs, slot_for_id, width: int = LEX_WIDTH):
