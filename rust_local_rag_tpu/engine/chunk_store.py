@@ -143,6 +143,8 @@ class ChunkStore:
         """Insert chunks (embeddings already unit-normalized). Returns slots."""
         if len(metas) != embeddings.shape[0]:
             raise ValueError("metas/embeddings length mismatch")
+        if not metas:
+            return []
         if embeddings.shape[1] != self.dim:
             raise ValueError(
                 f"embedding dim {embeddings.shape[1]} != store dim {self.dim}"

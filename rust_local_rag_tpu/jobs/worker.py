@@ -122,6 +122,8 @@ class WorkerSupervisor:
             name=f"reindex-{request.job_id[:8]}",
             daemon=True,
         )
+        # reap finished workers so the list doesn't grow unboundedly
+        self._threads = [x for x in self._threads if x.is_alive()]
         self._threads.append(t)
         t.start()
 
