@@ -227,8 +227,12 @@ def build_app(ctx: AppContext) -> web.Application:
     app.router.add_post("/reindex", http_reindex)
     app.router.add_get("/jobs/active", http_active_job)
     app.router.add_get("/jobs/{job_id}", http_job_status)
+    async def mcp_get(request: web.Request) -> web.Response:
+        # streamable-HTTP clients may GET to open a server-push channel;
+        # this server is request/response only — advertise POST
+        return web.Response(status=405, headers={"Allow": "POST"})
+
     endpoint = get_mcp_http_endpoint()
     app.router.add_post(endpoint, mcp_endpoint)
-    # some MCP clients GET the endpoint to open an SSE channel; reply 405
-    # like a JSON-only streamable server does
+    app.router.add_get(endpoint, mcp_get)
     return app
