@@ -10,8 +10,10 @@ index vs. immutable device arrays"):
     document replacement frees its slots (mask clear + free list) and new
     chunks refill holes. Capacity doubles on demand.
   * host: per-slot metadata (chunk id, document, text, page, section, chunk
-    metadata) plus an id -> slot map, and a NumPy mirror of the embeddings
-    for persistence.
+    metadata) plus an id -> slot map. Embeddings live ONLY on device; the
+    rare host consumers (persistence snapshots, compaction) read the slab
+    back with one device_get instead of keeping a duplicate mirror (which
+    would cost another 30 GB of host RAM at 10M x 768 f32).
 
 Search ops read `corpus()` / `valid_mask()` directly from HBM — no
 per-candidate host access ever happens on the query path.
@@ -51,7 +53,6 @@ class ChunkStore:
         self._capacity = int(initial_capacity)
         self._emb = jnp.zeros((self._capacity, self.dim), dtype=dtype)
         self._mask = jnp.zeros((self._capacity,), dtype=bool)
-        self._host_emb = np.zeros((self._capacity, self.dim), dtype=np.float32)
         self._meta: List[Optional[ChunkMeta]] = [None] * self._capacity
         self._id_to_slot: Dict[str, int] = {}
         self._free: List[int] = []
@@ -102,7 +103,7 @@ class ChunkStore:
         return sorted({m.document_name for _, m in self.iter_meta()})
 
     def embedding_for_slot(self, slot: int) -> np.ndarray:
-        return self._host_emb[slot]
+        return np.asarray(self._emb[slot], dtype=np.float32)
 
     # ----- mutation -------------------------------------------------------
 
@@ -118,9 +119,6 @@ class ChunkStore:
         )
         self._mask = jnp.concatenate(
             [self._mask, jnp.zeros((pad,), dtype=bool)], axis=0
-        )
-        self._host_emb = np.concatenate(
-            [self._host_emb, np.zeros((pad, self.dim), dtype=np.float32)], axis=0
         )
         self._meta.extend([None] * pad)
         self._capacity = new_cap
@@ -155,10 +153,9 @@ class ChunkStore:
 
         slots = self._alloc_slots(len(metas))
         emb32 = np.asarray(embeddings, dtype=np.float32)
-        for i, (slot, meta) in enumerate(zip(slots, metas)):
+        for slot, meta in zip(slots, metas):
             self._meta[slot] = meta
             self._id_to_slot[meta.id] = slot
-            self._host_emb[slot] = emb32[i]
 
         slot_idx = jnp.asarray(np.asarray(slots, dtype=np.int32))
         self._emb = self._emb.at[slot_idx].set(
@@ -195,23 +192,24 @@ class ChunkStore:
         return len(slots)
 
     def compact(self) -> None:
-        """Repack live slots to the front (periodic maintenance)."""
+        """Repack live slots to the front (periodic maintenance); the
+        permutation happens on device (one gather)."""
         live = sorted(self._id_to_slot.values())
         n = len(live)
-        new_host = np.zeros_like(self._host_emb)
         new_meta: List[Optional[ChunkMeta]] = [None] * self._capacity
         id_to_slot: Dict[str, int] = {}
         for new_slot, old_slot in enumerate(live):
-            new_host[new_slot] = self._host_emb[old_slot]
             meta = self._meta[old_slot]
             new_meta[new_slot] = meta
             id_to_slot[meta.id] = new_slot
-        self._host_emb = new_host
         self._meta = new_meta
         self._id_to_slot = id_to_slot
         self._free = []
         self._high_water = n
-        self._emb = jnp.asarray(new_host, dtype=self.dtype)
+        perm = np.zeros(self._capacity, dtype=np.int32)
+        perm[:n] = np.asarray(live, dtype=np.int32)
+        self._emb = jnp.take(self._emb, jnp.asarray(perm), axis=0)
+        self._emb = self._emb.at[n:].set(0)
         mask = np.zeros((self._capacity,), dtype=bool)
         mask[:n] = True
         self._mask = jnp.asarray(mask)
@@ -219,8 +217,14 @@ class ChunkStore:
     # ----- persistence helpers -------------------------------------------
 
     def snapshot_host(self):
-        """(embeddings [n, D] f32, metas) for live chunks, slot-ordered."""
+        """(embeddings [n, D] f32, metas) for live chunks, slot-ordered.
+        Reads the slab back from device (one gather + device_get)."""
         live = sorted(self._id_to_slot.values())
-        emb = self._host_emb[live] if live else np.zeros((0, self.dim), np.float32)
+        if not live:
+            return np.zeros((0, self.dim), np.float32), []
+        idx = jnp.asarray(np.asarray(live, dtype=np.int32))
+        emb = np.asarray(
+            jnp.take(self._emb, idx, axis=0), dtype=np.float32
+        )
         metas = [self._meta[s] for s in live]
         return emb, metas
