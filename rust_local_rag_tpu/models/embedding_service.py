@@ -124,16 +124,24 @@ class EmbeddingService:
         )
         total = len(texts)
         total_batches = -(-total // bs)
+
+        # Length-sorted batching: a batch pads to its LONGEST member's
+        # sequence bucket, so grouping similar-length chunks avoids paying
+        # the max bucket for every batch (mixed corpora would otherwise run
+        # entirely at the longest bucket). Original order is restored.
+        order = sorted(range(total), key=lambda i: len(texts[i]))
+
         out = np.zeros((total, self.dim), dtype=np.float32)
         for bi in range(total_batches):
             lo, hi = bi * bs, min((bi + 1) * bs, total)
-            batch = self.embed_texts(texts[lo:hi])
+            idxs = order[lo:hi]
+            batch = self.embed_texts([texts[i] for i in idxs])
             if batch.shape[0] != hi - lo:
                 raise RuntimeError(
                     f"Batch {bi + 1}/{total_batches}: received "
                     f"{batch.shape[0]} embeddings for {hi - lo} chunks"
                 )
-            out[lo:hi] = batch
+            out[np.asarray(idxs, dtype=np.int64)] = batch
             if batch_callback is not None:
                 batch_callback(bi + 1, total_batches, total, hi - lo)
             if bi + 1 < total_batches and cooldown > 0:

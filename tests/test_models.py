@@ -211,3 +211,12 @@ def test_prompt_template_from_prompts_dir(tmp_path, monkeypatch):
 
     t = load_prompt_template()
     assert t.startswith("CUSTOM")
+
+
+def test_embed_in_batches_length_sorted_order_restored():
+    """Length-sorted batching must return embeddings in the INPUT order."""
+    svc = EmbeddingService(HashEncoder(dim=16))
+    texts = ["z " * 50, "a", "mid length text here", "b c", "x " * 30]
+    batched = svc.embed_in_batches(texts, batch_size=2, cooldown_ms=0)
+    direct = np.stack([svc.get_embedding(t) for t in texts])
+    np.testing.assert_allclose(batched, direct, rtol=1e-6)
