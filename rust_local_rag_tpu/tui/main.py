@@ -4,6 +4,7 @@ poll timers :557-608).
 
 Keys (NORMAL): type to search (debounced), Enter opens detail, Up/Down
 select, Ctrl-R reindex, Ctrl-T theme, F1/? help, F2 settings, Ctrl-U clear,
+Ctrl-Y copy selected result text (OSC52 clipboard — works over SSH),
 Esc/Ctrl-C quit.
 DETAIL: Up/Down scroll, Esc back. SETTINGS: Up/Down select, Enter edit,
 Enter saves the field, Ctrl-S writes .env, Esc back.
@@ -146,6 +147,11 @@ def _handle_key(ch: int, state: AppState, ctl: Controller) -> None:
         state.theme_name = next_theme(state.theme_name)
     elif ch == 21:  # Ctrl-U
         state.update(Msg("clear"))
+    elif ch == 25:  # Ctrl-Y: copy selected result text to the clipboard
+        r = state.selected_result()
+        if r is not None:
+            _osc52_copy(r.text)
+            state.status_line = "copied result text to clipboard"
     elif ch in (curses.KEY_F1,) or (
         state.mode != Mode.NORMAL and ch == ord("?")
     ):
@@ -193,6 +199,17 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
             state.status_line = f"saved {ctl.settings.path}"
         except OSError as e:
             state.status_line = f"save failed: {e}"
+
+
+def _osc52_copy(text: str) -> None:
+    """Clipboard copy via the OSC52 escape sequence (terminal-mediated, so
+    it works in SSH sessions where the reference's arboard cannot)."""
+    import base64
+    import sys
+
+    payload = base64.b64encode(text.encode("utf-8")).decode("ascii")
+    sys.stdout.write(f"\x1b]52;c;{payload}\x07")
+    sys.stdout.flush()
 
 
 def run(stdscr, base_url: str, env_path: str) -> None:

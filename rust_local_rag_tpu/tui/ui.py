@@ -169,6 +169,7 @@ def _draw_help(stdscr, theme: Theme, h: int, w: int) -> None:
         "  Ctrl-R        start background reindex",
         "  Ctrl-T        cycle theme",
         "  Ctrl-U        clear query",
+        "  Ctrl-Y        copy selected result text (OSC52)",
         "  F1 or ?       toggle this help",
         "  F2            settings editor (.env)",
         "  Esc           back / quit",
