@@ -47,11 +47,27 @@ class ChunkMeta:
 
 
 class ChunkStore:
-    def __init__(self, dim: int, dtype=jnp.float32, initial_capacity: int = 1024):
+    def __init__(
+        self,
+        dim: int,
+        dtype=jnp.float32,
+        initial_capacity: int = 1024,
+        quantized: bool = False,
+    ):
+        """quantized=True stores per-row symmetric int8 values + f32 scales
+        (half the HBM of bf16 / quarter of f32 — the full 10M x 768 target
+        corpus fits ONE v5e chip; see ops/quantized.py for the two-phase
+        search that keeps final ordering in f32)."""
         self.dim = int(dim)
-        self.dtype = dtype
+        self.quantized = bool(quantized)
+        self.dtype = jnp.int8 if quantized else dtype
         self._capacity = int(initial_capacity)
-        self._emb = jnp.zeros((self._capacity, self.dim), dtype=dtype)
+        self._emb = jnp.zeros((self._capacity, self.dim), dtype=self.dtype)
+        self._scales = (
+            jnp.zeros((self._capacity, 1), dtype=jnp.float32)
+            if quantized
+            else None
+        )
         self._mask = jnp.zeros((self._capacity,), dtype=bool)
         self._meta: List[Optional[ChunkMeta]] = [None] * self._capacity
         self._id_to_slot: Dict[str, int] = {}
@@ -74,6 +90,18 @@ class ChunkStore:
     def corpus(self) -> jax.Array:
         """[capacity, D] device matrix (rows beyond the mask are garbage)."""
         return self._emb
+
+    def scales(self) -> jax.Array:
+        """[capacity, 1] per-row dequantization scales (quantized mode)."""
+        if self._scales is None:
+            raise RuntimeError("store is not quantized")
+        return self._scales
+
+    def quantized_corpus(self):
+        """QuantizedCorpus view for ops/quantized.py."""
+        from rust_local_rag_tpu.ops.quantized import QuantizedCorpus
+
+        return QuantizedCorpus(values=self._emb, scales=self.scales())
 
     def valid_mask(self) -> jax.Array:
         """[capacity] device bool mask of live slots."""
@@ -117,6 +145,10 @@ class ChunkStore:
         self._emb = jnp.concatenate(
             [self._emb, jnp.zeros((pad, self.dim), dtype=self.dtype)], axis=0
         )
+        if self._scales is not None:
+            self._scales = jnp.concatenate(
+                [self._scales, jnp.zeros((pad, 1), dtype=jnp.float32)], axis=0
+            )
         self._mask = jnp.concatenate(
             [self._mask, jnp.zeros((pad,), dtype=bool)], axis=0
         )
@@ -158,9 +190,16 @@ class ChunkStore:
             self._id_to_slot[meta.id] = slot
 
         slot_idx = jnp.asarray(np.asarray(slots, dtype=np.int32))
-        self._emb = self._emb.at[slot_idx].set(
-            jnp.asarray(emb32, dtype=self.dtype)
-        )
+        if self.quantized:
+            absmax = np.maximum(np.abs(emb32).max(axis=1, keepdims=True), 1e-10)
+            scale = (absmax / 127.0).astype(np.float32)
+            q = np.clip(np.round(emb32 / scale), -127, 127).astype(np.int8)
+            self._emb = self._emb.at[slot_idx].set(jnp.asarray(q))
+            self._scales = self._scales.at[slot_idx].set(jnp.asarray(scale))
+        else:
+            self._emb = self._emb.at[slot_idx].set(
+                jnp.asarray(emb32, dtype=self.dtype)
+            )
         self._mask = self._mask.at[slot_idx].set(True)
         return slots
 
@@ -210,6 +249,9 @@ class ChunkStore:
         perm[:n] = np.asarray(live, dtype=np.int32)
         self._emb = jnp.take(self._emb, jnp.asarray(perm), axis=0)
         self._emb = self._emb.at[n:].set(0)
+        if self._scales is not None:
+            self._scales = jnp.take(self._scales, jnp.asarray(perm), axis=0)
+            self._scales = self._scales.at[n:].set(0)
         mask = np.zeros((self._capacity,), dtype=bool)
         mask[:n] = True
         self._mask = jnp.asarray(mask)
@@ -226,5 +268,8 @@ class ChunkStore:
         emb = np.asarray(
             jnp.take(self._emb, idx, axis=0), dtype=np.float32
         )
+        if self.quantized:
+            scales = np.asarray(jnp.take(self._scales, idx, axis=0))
+            emb = emb * scales  # dequantize for persistence (f32 format)
         metas = [self._meta[s] for s in live]
         return emb, metas

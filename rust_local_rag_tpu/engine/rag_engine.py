@@ -36,7 +36,12 @@ from rust_local_rag_tpu.models.reranker_service import (
     RerankerService,
 )
 from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
-from rust_local_rag_tpu.ops.hybrid import LEX_WIDTH, hybrid_topk, pack_sparse_lex
+from rust_local_rag_tpu.ops.hybrid import (
+    LEX_WIDTH,
+    hybrid_topk,
+    hybrid_topk_quantized,
+    pack_sparse_lex,
+)
 from rust_local_rag_tpu.ops.mmr import (
     mmr_select,
     mmr_select_host,
@@ -126,14 +131,21 @@ class RagEngine:
         self.embedding_service = embedding_service
         self.reranker = reranker
         self._corpus_dtype = corpus_dtype
-        self.store = ChunkStore(dim=embedding_service.dim, dtype=corpus_dtype)
+        import os as _os
+
+        quantized = bool(_os.environ.get("RAG_TPU_INT8_CORPUS"))
+        self.store = ChunkStore(
+            dim=embedding_service.dim, dtype=corpus_dtype, quantized=quantized
+        )
         # native C++ index when built (see native/), Python fallback
         self.lexical_index = make_lexical_index()
         self.document_hashes: Dict[str, str] = {}
         self._needs_reindex = False
-        import os as _os
-
-        self._device_mmr = bool(_os.environ.get("RAG_TPU_DEVICE_MMR"))
+        # device MMR loop is f32-only; the quantized path always uses the
+        # fused-sims + host-greedy route
+        self._device_mmr = (
+            bool(_os.environ.get("RAG_TPU_DEVICE_MMR")) and not quantized
+        )
         self.load_from_disk()
 
     # ----- lifecycle -------------------------------------------------------
@@ -341,17 +353,31 @@ class RagEngine:
 
         initial_k = min(len(self.store), max(top_k * 3, top_k))
 
-        out = hybrid_topk(
-            jnp.asarray(q_emb),
-            self.store.corpus(),
-            self.store.valid_mask(),
-            jnp.asarray(lex_slots),
-            jnp.asarray(lex_vals),
-            jnp.float32(resolved.embedding),
-            jnp.float32(resolved.lexical),
-            _bucket_k(initial_k),
-            with_sims=collect_sims,
-        )
+        if self.store.quantized:
+            out = hybrid_topk_quantized(
+                jnp.asarray(q_emb),
+                self.store.corpus(),
+                self.store.scales(),
+                self.store.valid_mask(),
+                jnp.asarray(lex_slots),
+                jnp.asarray(lex_vals),
+                jnp.float32(resolved.embedding),
+                jnp.float32(resolved.lexical),
+                _bucket_k(initial_k),
+                with_sims=collect_sims,
+            )
+        else:
+            out = hybrid_topk(
+                jnp.asarray(q_emb),
+                self.store.corpus(),
+                self.store.valid_mask(),
+                jnp.asarray(lex_slots),
+                jnp.asarray(lex_vals),
+                jnp.float32(resolved.embedding),
+                jnp.float32(resolved.lexical),
+                _bucket_k(initial_k),
+                with_sims=collect_sims,
+            )
         if collect_sims:
             vals_b, emb_b, lex_b, idx_b, sims_b = out
             sims_b = np.asarray(sims_b)
@@ -638,9 +664,12 @@ class RagEngine:
             return []
         q_emb = _normalize_vec(self.embedding_service.get_query_embedding(query))
         k = min(count, len(self.store))
-        vals, emb_k, _, idx = hybrid_topk(
+        fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
+        extra = (self.store.scales(),) if self.store.quantized else ()
+        vals, emb_k, _, idx = fn(
             jnp.asarray(q_emb[None, :]),
             self.store.corpus(),
+            *extra,
             self.store.valid_mask(),
             jnp.full((1, LEX_WIDTH), -1, dtype=jnp.int32),
             jnp.zeros((1, LEX_WIDTH), dtype=jnp.float32),

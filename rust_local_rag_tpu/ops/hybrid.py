@@ -171,3 +171,111 @@ def pack_sparse_lex(pairs, slot_for_id, width: int = LEX_WIDTH):
         vals[0, j] = score
         j += 1
     return slots, vals
+
+
+@functools.partial(jax.jit, static_argnames=("k", "with_sims"))
+def hybrid_topk_quantized(
+    queries: jax.Array,      # [Q, D] f32 unit-normalized
+    values: jax.Array,       # [N, D] int8 corpus
+    scales: jax.Array,       # [N, 1] f32 per-row scales
+    valid_mask: jax.Array,   # [N] bool
+    lex_slots: jax.Array,    # [Q, L] int32
+    lex_vals: jax.Array,     # [Q, L] f32
+    w_embedding: jax.Array,
+    w_lexical: jax.Array,
+    k: int,
+    with_sims: bool = False,
+):
+    """Int8 capacity-mode variant of hybrid_topk (the full 10M x 768 target
+    corpus fits one v5e chip at int8). Two-phase: int8 MXU scoring selects
+    the candidate pool (approximate at the int8 precision boundary), then
+    the pool's rows are dequantized and every returned embedding_score /
+    combined score is recomputed in f32 — final ordering is exact w.r.t.
+    the dequantized corpus.
+    """
+    qn = queries.shape[0]
+    n = values.shape[0]
+    d = values.shape[1]
+
+    # phase 1: int8 x int8 scoring for selection
+    q32 = queries.astype(jnp.float32)
+    q_absmax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+    q_scale = jnp.maximum(q_absmax, 1e-10) / 127.0
+    q_int8 = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(jnp.int8)
+    scores_i32 = jax.lax.dot_general(
+        q_int8,
+        values,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    emb = scores_i32.astype(jnp.float32) * q_scale * scales[:, 0][None, :]
+    masked_emb = jnp.where(valid_mask[None, :], emb, NEG_INF)
+
+    k_eff = min(k, n)
+    if n >= 65536:
+        from rust_local_rag_tpu.ops.fast_topk import (
+            segmented_exact_topk_scores,
+        )
+
+        e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
+            masked_emb, k_eff
+        )
+    else:
+        e_vals, e_idx = jax.lax.top_k(masked_emb, k_eff)
+    if k_eff < k:
+        e_vals = jnp.pad(
+            e_vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF
+        )
+        e_idx = jnp.pad(e_idx, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    e_idx = e_idx.astype(jnp.int32)
+    # slots whose phase-1 score is -inf are masked/padding — the f32
+    # rescore must never resurrect them
+    e_idx = jnp.where(e_vals == NEG_INF, -1, e_idx)
+
+    # union with the lexical hit slots (same containment argument)
+    lex_pad = lex_slots < 0
+    all_idx = jnp.concatenate([e_idx, jnp.where(lex_pad, -1, lex_slots)], axis=1)
+    # dedup: kill later duplicates by first-occurrence mask
+    eq = all_idx[:, :, None] == all_idx[:, None, :]
+    first = jnp.argmax(eq, axis=2)  # first position holding this slot
+    pos = jax.lax.broadcasted_iota(jnp.int32, all_idx.shape, 1)
+    keep = (first == pos) & (all_idx >= 0)
+
+    # phase 2: dequantize the union rows, rescore everything in f32
+    safe = jnp.maximum(all_idx, 0)
+    rows = jnp.take(values, safe.reshape(-1), axis=0).astype(jnp.float32)
+    row_scales = jnp.take(scales, safe.reshape(-1), axis=0)
+    rows = (rows * row_scales).reshape(qn, -1, d)
+    emb_f32 = jnp.einsum(
+        "qd,qcd->qc", q32, rows, preferred_element_type=jnp.float32
+    )
+
+    # lexical normalization + alignment to the union axis
+    lv = jnp.where(lex_pad, 0.0, lex_vals.astype(jnp.float32))
+    max_lex = jnp.maximum(
+        jnp.max(lv, axis=1, keepdims=True), jnp.float32(1.1920929e-07)
+    )
+    lexn_sparse = lv / max_lex
+    lexn = jnp.concatenate([jnp.zeros_like(e_vals), lexn_sparse], axis=1)
+    # e-side lexical contributions (same matching as hybrid_topk)
+    match_e = e_idx[:, :, None] == jnp.where(lex_pad, -2, lex_slots)[:, None, :]
+    e_lexn = jnp.sum(jnp.where(match_e, lexn_sparse[:, None, :], 0.0), axis=2)
+    lexn = lexn.at[:, : e_idx.shape[1]].set(e_lexn)
+
+    combined = jnp.where(
+        keep, w_embedding * emb_f32 + w_lexical * lexn, NEG_INF
+    )
+    vals, sel = jax.lax.top_k(combined, k)
+    idx = jnp.take_along_axis(all_idx, sel, axis=1)
+    emb_k = jnp.take_along_axis(emb_f32, sel, axis=1)
+    lex_k = jnp.take_along_axis(lexn, sel, axis=1)
+    invalid = vals == NEG_INF
+    idx = jnp.where(invalid, -1, idx)
+    if not with_sims:
+        return vals, emb_k, lex_k, idx.astype(jnp.int32)
+
+    cand_rows = jnp.take_along_axis(rows, sel[:, :, None], axis=1)
+    cand_sims = jnp.einsum(
+        "qkd,qjd->qkj", cand_rows, cand_rows, preferred_element_type=jnp.float32
+    )
+    return vals, emb_k, lex_k, idx.astype(jnp.int32), cand_sims
