@@ -210,15 +210,28 @@ def build_app(ctx: AppContext) -> web.Application:
                 status=400,
             )
         response = await _in_executor(mcp.handle, payload)
+        # streamable-HTTP session management: assign an id on initialize,
+        # echo whatever the client presents afterwards (tools here are
+        # stateless, so the id is bookkeeping for spec-compliant clients)
+        headers = {}
+        if isinstance(payload, dict) and payload.get("method") == "initialize":
+            import uuid as _uuid
+
+            headers["Mcp-Session-Id"] = _uuid.uuid4().hex
+        elif "Mcp-Session-Id" in request.headers:
+            headers["Mcp-Session-Id"] = request.headers["Mcp-Session-Id"]
         if response is None:  # notification
-            return web.Response(status=202)
+            return web.Response(status=202, headers=headers)
         accept = request.headers.get("Accept", "")
         if "text/event-stream" in accept and "application/json" not in accept:
             body = f"event: message\ndata: {json.dumps(response)}\n\n"
             return web.Response(
-                status=200, body=body.encode(), content_type="text/event-stream"
+                status=200,
+                body=body.encode(),
+                content_type="text/event-stream",
+                headers=headers,
             )
-        return web.json_response(response)
+        return web.json_response(response, headers=headers)
 
     app.router.add_get("/healthz", healthz)
     app.router.add_get("/readyz", readyz)

@@ -361,3 +361,25 @@ def test_format_parity_with_reference_example():
     assert "---\n\n" in formatted
     assert "**2. [73%] lorem.pdf (page 10)**" in formatted
     assert format_search_results([]) == "No results found."
+
+
+def test_mcp_session_id_issued_and_echoed(server):
+    r = requests.post(
+        f"{server.base}/mcp",
+        json={"jsonrpc": "2.0", "id": 1, "method": "initialize",
+              "params": {"protocolVersion": "2025-03-26"}},
+    )
+    sid = r.headers.get("Mcp-Session-Id")
+    assert sid
+    r2 = requests.post(
+        f"{server.base}/mcp",
+        json={"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        headers={"Mcp-Session-Id": sid},
+    )
+    assert r2.headers.get("Mcp-Session-Id") == sid
+
+
+def test_mcp_get_endpoint_405(server):
+    r = requests.get(f"{server.base}/mcp")
+    assert r.status_code == 405
+    assert r.headers.get("Allow") == "POST"
