@@ -189,3 +189,28 @@ def test_live_server_eval(tmp_path):
         del requests
     finally:
         fx.stop()
+
+
+def test_eval_client_mcp_mode_live(tmp_path):
+    """MCP-mode client: search via tools/call, results parsed back out of
+    the markdown tool output (the reference's MCP mode fails this parse —
+    eval/rag_client.py:148-151 notes it gets empty results)."""
+    from eval_harness.client import RAGClient
+    from test_server import ServerFixture
+
+    fx = ServerFixture(tmp_path, with_reranker=False)
+    fx.start()
+    try:
+        jr = fx.reindex_and_wait()
+        assert jr["status"] == "completed"
+        client = RAGClient(endpoint=f"{fx.base}/mcp", mode="mcp")
+        assert client.health_check()
+        resp = client.search("tomato compost watering", top_k=2)
+        assert resp.results
+        assert resp.results[0].document == "garden.pdf"
+        assert resp.results[0].page >= 1
+        assert 0.0 <= resp.results[0].score <= 1.0
+        stats = client.get_stats()
+        assert stats.get("documents") == 2
+    finally:
+        fx.stop()
