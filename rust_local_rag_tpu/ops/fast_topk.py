@@ -109,3 +109,29 @@ def segmented_exact_topk(
     return segmented_exact_topk_scores(
         scores, k, segment_size=segment_size, num_segments=num_segments
     )
+
+
+def segmented_select_from(
+    scores: jax.Array,
+    seg_max: jax.Array,
+    k: int,
+    num_segments: int = 256,
+    segment_size: int = 128,
+):
+    """Selection stage over a PRECOMPUTED [Q, NT] segment-max matrix (e.g.
+    from the Pallas fused scoring kernel, which produces it in the same HBM
+    pass as the scores). Same exactness argument as
+    segmented_exact_topk_scores. `scores` may be [Q, NT*T]."""
+    qn, n = scores.shape
+    t = segment_size
+    nt = seg_max.shape[1]
+    s = min(max(num_segments, k), nt)
+    _, seg_idx = jax.lax.top_k(seg_max, s)
+    seg = scores.reshape(qn, nt, t)
+    cand = jnp.take_along_axis(seg, seg_idx[:, :, None], axis=1).reshape(
+        qn, s * t
+    )
+    vals, flat = jax.lax.top_k(cand, k)
+    seg_of = jnp.take_along_axis(seg_idx, flat // t, axis=1)
+    idx = seg_of * t + (flat % t)
+    return vals, idx.astype(jnp.int32)

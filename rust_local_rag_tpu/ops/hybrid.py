@@ -63,27 +63,40 @@ def hybrid_topk(
     n = corpus.shape[0]
     L = lex_slots.shape[1]
 
-    emb = jnp.einsum(
-        "qd,nd->qn",
-        queries,
-        corpus,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    masked_emb = jnp.where(valid_mask[None, :], emb, NEG_INF)
-
-    # pure-embedding top-k (the heavy selection)
     k_eff = min(k, n)
-    if n >= 65536:
-        from rust_local_rag_tpu.ops.fast_topk import (
-            segmented_exact_topk_scores,
+    if n >= 65536 and n % 16384 == 0:
+        # Pallas fused pass: scores + per-segment maxima in ONE read of the
+        # corpus (the separate segment-max reduction would re-read the
+        # [Q, N] score matrix from HBM). Masked slots are patched into both
+        # outputs before selection.
+        from rust_local_rag_tpu.ops.fast_topk import segmented_select_from
+        from rust_local_rag_tpu.ops.pallas_topk import (
+            fused_score_segmax_masked,
         )
 
-        e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
-            masked_emb, k_eff
+        masked_emb, segmax_t = fused_score_segmax_masked(
+            queries, corpus, valid_mask
         )
+        e_vals, e_idx = segmented_select_from(masked_emb, segmax_t.T, k_eff)
     else:
-        e_vals, e_idx = jax.lax.top_k(masked_emb, k_eff)
+        emb = jnp.einsum(
+            "qd,nd->qn",
+            queries,
+            corpus,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        masked_emb = jnp.where(valid_mask[None, :], emb, NEG_INF)
+        if n >= 65536:
+            from rust_local_rag_tpu.ops.fast_topk import (
+                segmented_exact_topk_scores,
+            )
+
+            e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
+                masked_emb, k_eff
+            )
+        else:
+            e_vals, e_idx = jax.lax.top_k(masked_emb, k_eff)
     if k_eff < k:
         e_vals = jnp.pad(
             e_vals, ((0, 0), (0, k - k_eff)), constant_values=NEG_INF

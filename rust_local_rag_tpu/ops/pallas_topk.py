@@ -150,3 +150,86 @@ def pallas_segmented_topk(
     seg_of = jnp.take_along_axis(seg_idx, flat // SEG, axis=1)
     idx = seg_of * SEG + (flat % SEG)
     return vals, idx.astype(jnp.int32)
+
+
+def _score_segmax_masked_kernel(q_ref, c_ref, m_ref, scores_ref, segmax_ref):
+    """Masked variant: invalid slots are -inf in BOTH outputs, so the
+    segmented-selection exactness proof holds on slabs with freed slots."""
+    i = pl.program_id(1)
+    s = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m = m_ref[:]  # [1, BLK_N] int8 (1 = live slot)
+    s = jnp.where(m > 0, s, float("-inf"))
+    scores_ref[:] = s
+    qn, blk = s.shape
+    per_tile = blk // SEG
+    seg = jnp.max(s.reshape(qn, per_tile, SEG), axis=2)
+    segmax_ref[pl.ds(i * per_tile, per_tile), :] = seg.T
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def fused_score_segmax_masked(
+    queries: jax.Array,
+    corpus: jax.Array,
+    valid_mask: jax.Array,  # [N] bool
+    block_n: int = 2048,
+):
+    """Masked fused pass -> (masked scores [Q, N] f32,
+    masked segmax [N // SEG, Q] f32)."""
+    q, d = queries.shape
+    n = corpus.shape[0]
+    group = block_n * INNER_TILES
+    if n % group != 0 or block_n % SEG != 0:
+        raise ValueError(
+            f"N ({n}) must divide by block_n*{INNER_TILES} ({group})"
+        )
+    seg_block = (block_n // SEG) * INNER_TILES
+    mask01 = valid_mask.astype(jnp.int8).reshape(1, n)
+    grid = (n // group, INNER_TILES)
+    return pl.pallas_call(
+        _score_segmax_masked_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, d), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_n, d),
+                lambda j, i: (j * INNER_TILES + i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_n),
+                lambda j, i: (0, j * INNER_TILES + i),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (q, block_n),
+                lambda j, i: (0, j * INNER_TILES + i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (seg_block, q), lambda j, i: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q, n), jnp.float32),
+            jax.ShapeDtypeStruct((n // SEG, q), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * d * n,
+            bytes_accessed=(
+                q * d * queries.dtype.itemsize
+                + n * d * corpus.dtype.itemsize
+                + n
+                + q * n * 4
+                + q * (n // SEG) * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=bool(os.environ.get("RAG_TPU_PALLAS_INTERPRET")),
+    )(queries, corpus, mask01)

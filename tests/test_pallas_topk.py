@@ -46,3 +46,29 @@ def test_shape_validation(rng):
     corpus = jnp.zeros((1000, 128), jnp.float32)  # not divisible
     with pytest.raises(ValueError, match="must divide"):
         fused_score_segmax(queries, corpus, block_n=2048)
+
+
+def test_hybrid_pallas_branch_masks_freed_slots(rng):
+    """The engine's fused pallas branch (slab >= 64k, multiple of 16384)
+    must keep exactness with freed slots — the segment maxima are masked
+    INSIDE the kernel (unmasked maxima could elevate garbage segments)."""
+    from rust_local_rag_tpu.ops.hybrid import hybrid_topk
+
+    n, d, q, k = 65536, 16, 2, 6
+    corpus = _unit(rng, n, d)
+    queries = corpus[:q].copy()
+    mask = np.ones(n, dtype=bool)
+    mask[1] = False  # free a slot adjacent to a top hit
+    lex_slots = np.full((q, 512), -1, np.int32)
+    lex_vals = np.zeros((q, 512), np.float32)
+    v, e, l, i = hybrid_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(mask),
+        jnp.asarray(lex_slots), jnp.asarray(lex_vals),
+        jnp.float32(1.0), jnp.float32(0.0), k,
+    )
+    i = np.asarray(i)
+    ref = queries @ corpus.T
+    ref[:, 1] = -np.inf
+    for qi in range(q):
+        want = set(np.argsort(-ref[qi])[:k].tolist())
+        assert set(i[qi].tolist()) == want
