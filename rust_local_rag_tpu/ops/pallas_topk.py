@@ -154,16 +154,20 @@ def pallas_segmented_topk(
 
 def _score_segmax_masked_kernel(q_ref, c_ref, m_ref, scores_ref, segmax_ref):
     """Masked variant: invalid slots are -inf in BOTH outputs, so the
-    segmented-selection exactness proof holds on slabs with freed slots."""
+    segmented-selection exactness proof holds on slabs with freed slots.
+    Full f32 precision — the engine slab is f32 and rankings must match the
+    reference's f32 math (default TPU matmul precision is bf16 passes)."""
     i = pl.program_id(1)
     s = jax.lax.dot_general(
         q_ref[:],
         c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    m = m_ref[:]  # [1, BLK_N] int8 (1 = live slot)
-    s = jnp.where(m > 0, s, float("-inf"))
+    m = m_ref[:]  # [1, BLK_N] f32 (1.0 = live slot; int8 compares are not
+    # supported by every Mosaic target)
+    s = jnp.where(m > 0.5, s, float("-inf"))
     scores_ref[:] = s
     qn, blk = s.shape
     per_tile = blk // SEG
@@ -188,7 +192,7 @@ def fused_score_segmax_masked(
             f"N ({n}) must divide by block_n*{INNER_TILES} ({group})"
         )
     seg_block = (block_n // SEG) * INNER_TILES
-    mask01 = valid_mask.astype(jnp.int8).reshape(1, n)
+    mask01 = valid_mask.astype(jnp.float32).reshape(1, n)
     grid = (n // group, INNER_TILES)
     return pl.pallas_call(
         _score_segmax_masked_kernel,
@@ -225,7 +229,7 @@ def fused_score_segmax_masked(
             bytes_accessed=(
                 q * d * queries.dtype.itemsize
                 + n * d * corpus.dtype.itemsize
-                + n
+                + n * 4
                 + q * n * 4
                 + q * (n // SEG) * 4
             ),
