@@ -467,7 +467,7 @@ class RagEngine:
             self.reranker.build_prompt(queries[qi], cand)
             for qi, cand in flat_inputs
         ]
-        scored = self.reranker._model.score_prompts(prompts)
+        scored = self.reranker.score_prompts(prompts)
         grouped: List[list] = [[] for _ in range(nq)]
         for (qi, cand), (s, y, n) in zip(flat_inputs, scored):
             grouped[qi].append(

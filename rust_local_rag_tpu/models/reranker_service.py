@@ -117,6 +117,12 @@ class RerankerService:
             .replace("{text}", candidate.text.strip())
         )
 
+    def score_prompts(self, prompts: Sequence[str]):
+        """Batched raw scoring passthrough: [(score, yes_lp, no_lp)] —
+        used by the engine to score many queries' candidates in one
+        device forward."""
+        return self._model.score_prompts(list(prompts))
+
     def rerank(
         self, query: str, candidates: Sequence[RerankerCandidate]
     ) -> List[RerankedResult]:

@@ -62,6 +62,17 @@ class SearchBatcher:
     def stop(self) -> None:
         self._stopping.set()
         self._queue.put(None)  # type: ignore[arg-type]
+        self._thread.join(timeout=5)
+        # fail anything still queued so no caller blocks forever
+        try:
+            while True:
+                item = self._queue.get_nowait()
+                if item is not None:
+                    item.future.set_exception(
+                        RuntimeError("server shutting down")
+                    )
+        except queue.Empty:
+            pass
 
     def search(
         self,
@@ -111,6 +122,9 @@ class SearchBatcher:
 
             batch, pending = pending, stash
             self._execute(batch)
+        # shutdown: fail any stashed items still waiting
+        for item in pending:
+            item.future.set_exception(RuntimeError("server shutting down"))
 
     def _execute(self, batch: List[_Item]) -> None:
         if not batch:

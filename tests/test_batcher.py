@@ -112,3 +112,30 @@ def test_error_propagates_to_all_waiters():
             b.search("q", 5, 0.3, None)
     finally:
         b.stop()
+
+
+def test_stop_fails_pending_waiters():
+    import concurrent.futures
+
+    class SlowEngine:
+        def search_with_diversity_batch(self, queries, *a, **k):
+            time.sleep(0.3)
+            return [[f"{q}::r"] for q in queries]
+
+    b = SearchBatcher(SlowEngine(), RwLock(), window_ms=1)
+    results = {}
+
+    def go():
+        try:
+            results["x"] = b.search("q1", 5, 0.3, None)
+        except RuntimeError as e:
+            results["err"] = str(e)
+
+    t = threading.Thread(target=go)
+    t.start()
+    time.sleep(0.05)  # the worker is mid-execution
+    b.stop()
+    t.join(5)
+    # the in-flight item completes OR a queued one fails cleanly — either
+    # way the waiter is released
+    assert "x" in results or "err" in results
