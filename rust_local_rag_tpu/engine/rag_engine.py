@@ -134,6 +134,11 @@ class RagEngine:
         import os as _os
 
         quantized = bool(_os.environ.get("RAG_TPU_INT8_CORPUS"))
+        dtype_env = _os.environ.get("RAG_TPU_CORPUS_DTYPE")
+        if dtype_env == "bf16":
+            corpus_dtype = jnp.bfloat16  # 2x capacity; bf16 data precision
+        elif dtype_env == "f32":
+            corpus_dtype = jnp.float32
         self.store = ChunkStore(
             dim=embedding_service.dim, dtype=corpus_dtype, quantized=quantized
         )

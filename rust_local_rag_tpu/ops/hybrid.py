@@ -79,12 +79,19 @@ def hybrid_topk(
         )
         e_vals, e_idx = segmented_select_from(masked_emb, segmax_t.T, k_eff)
     else:
+        # f32 slabs: HIGHEST so rankings match the reference's f32 math.
+        # bf16 slabs: default passes (inputs already carry bf16 precision).
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if corpus.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
         emb = jnp.einsum(
             "qd,nd->qn",
             queries,
             corpus,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         masked_emb = jnp.where(valid_mask[None, :], emb, NEG_INF)
         if n >= 65536:

@@ -152,27 +152,31 @@ def pallas_segmented_topk(
     return vals, idx.astype(jnp.int32)
 
 
-def _score_segmax_masked_kernel(q_ref, c_ref, m_ref, scores_ref, segmax_ref):
-    """Masked variant: invalid slots are -inf in BOTH outputs, so the
-    segmented-selection exactness proof holds on slabs with freed slots.
-    Full f32 precision — the engine slab is f32 and rankings must match the
-    reference's f32 math (default TPU matmul precision is bf16 passes)."""
-    i = pl.program_id(1)
-    s = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    m = m_ref[:]  # [1, BLK_N] f32 (1.0 = live slot; int8 compares are not
-    # supported by every Mosaic target)
-    s = jnp.where(m > 0.5, s, float("-inf"))
-    scores_ref[:] = s
-    qn, blk = s.shape
-    per_tile = blk // SEG
-    seg = jnp.max(s.reshape(qn, per_tile, SEG), axis=2)
-    segmax_ref[pl.ds(i * per_tile, per_tile), :] = seg.T
+def _make_masked_kernel(precision):
+    def _score_segmax_masked_kernel(q_ref, c_ref, m_ref, scores_ref, segmax_ref):
+        # Masked variant: invalid slots are -inf in BOTH outputs, so the
+        # segmented-selection exactness proof holds on slabs with freed
+        # slots. Precision follows the slab dtype: f32 slabs use HIGHEST so
+        # rankings match the reference's f32 math; bf16 slabs use default
+        # passes (the inputs carry bf16 data precision already).
+        i = pl.program_id(1)
+        s = jax.lax.dot_general(
+            q_ref[:],
+            c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        m = m_ref[:]  # [1, BLK_N] f32 (1.0 = live slot; int8 compares are
+        # not supported by every Mosaic target)
+        s = jnp.where(m > 0.5, s, float("-inf"))
+        scores_ref[:] = s
+        qn, blk = s.shape
+        per_tile = blk // SEG
+        seg = jnp.max(s.reshape(qn, per_tile, SEG), axis=2)
+        segmax_ref[pl.ds(i * per_tile, per_tile), :] = seg.T
+
+    return _score_segmax_masked_kernel
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -194,8 +198,13 @@ def fused_score_segmax_masked(
     seg_block = (block_n // SEG) * INNER_TILES
     mask01 = valid_mask.astype(jnp.float32).reshape(1, n)
     grid = (n // group, INNER_TILES)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if corpus.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     return pl.pallas_call(
-        _score_segmax_masked_kernel,
+        _make_masked_kernel(precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((q, d), lambda j, i: (0, 0), memory_space=pltpu.VMEM),

@@ -82,3 +82,16 @@ def test_int8_get_embedding_candidates(tmp_path, monkeypatch):
     assert cands
     scores = [c.initial_score for c in cands]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bf16_corpus_mode(tmp_path, monkeypatch):
+    """RAG_TPU_CORPUS_DTYPE=bf16: half-memory slab, rankings stable."""
+    monkeypatch.delenv("RAG_TPU_INT8_CORPUS", raising=False)
+    monkeypatch.setenv("RAG_TPU_CORPUS_DTYPE", "bf16")
+    svc = EmbeddingService(HashEncoder(dim=128, model_name="bf16-test"))
+    eng = RagEngine(str(tmp_path), svc)
+    for name, body in DOCS.items():
+        eng.add_document(name, pdfgen.make_pdf([body]))
+    assert str(eng.store.corpus().dtype) == "bfloat16"
+    res = eng.search("tomato compost", 2)
+    assert res and res[0].document == "garden.pdf"
