@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os as _os
 import time
 import uuid
 from dataclasses import dataclass
@@ -44,6 +45,7 @@ from rust_local_rag_tpu.ops.hybrid import (
 )
 from rust_local_rag_tpu.ops.mmr import (
     mmr_select,
+    mmr_select_batch,
     mmr_select_host,
     similarity_matrices,
     similarity_matrix,
@@ -596,6 +598,22 @@ class RagEngine:
                 for results in pooled
             ]
 
+        # Large batches run MMR fully on device (one vmapped greedy program,
+        # [Q, k] indices out). The host-greedy path below must fetch the
+        # [Q, P, P] candidate similarity matrices — for a 64-query batch at
+        # pool bucket 512 that is ~64 MB across the device link, which
+        # dominates the batch latency on remote-attached TPUs. Small batches
+        # keep the host path (the sims ride the first-stage dispatch for
+        # free and the fetch is small).
+        env = _os.environ.get("RAG_TPU_BATCH_DEVICE_MMR")
+        if env is not None:
+            batch_device = env not in ("", "0", "false")
+        else:
+            batch_device = len(queries) >= 8
+        if batch_device and not self.store.quantized:
+            pooled = self.search_batch(queries, pool, weights)
+            return self._mmr_many(pooled, top_k, diversity_factor)
+
         # The candidate similarity matrices come back fused with the SAME
         # first-stage dispatch (hybrid_topk with_sims) — zero extra device
         # round trips; the tiny greedy scans run on host per query.
@@ -621,6 +639,48 @@ class RagEngine:
             selected = mmr_select_host(sims, rel, top_k, diversity_factor)
             out.append([results[i] for i in selected])
         return out
+
+    def _mmr_many(
+        self,
+        pooled: List[List[SearchResult]],
+        top_k: int,
+        diversity_factor: float,
+    ) -> List[List[SearchResult]]:
+        """Batched on-device MMR over a batch of candidate pools: one device
+        gather + one vmapped greedy selection (ops/mmr.mmr_select_batch);
+        only [Q, k] int32 indices cross the device boundary."""
+        per = [
+            [r for r in results if self.store.contains(r.chunk_id)]
+            for results in pooled
+        ]
+        nq = len(per)
+        if nq == 0 or all(not r for r in per):
+            return [[] for _ in per]
+        p_pad = _bucket_k(max(len(r) for r in per))
+        slots = np.zeros((nq, p_pad), dtype=np.int32)
+        rel = np.full((nq, p_pad), -np.inf, dtype=np.float32)
+        counts = np.zeros((nq,), dtype=np.int32)
+        for qi, results in enumerate(per):
+            n = len(results)
+            counts[qi] = n
+            if n:
+                slots[qi, :n] = [
+                    self.store.slot_for_id(r.chunk_id) for r in results
+                ]
+                rel[qi, :n] = [r.score for r in results]
+        emb = jnp.take(self.store.corpus(), jnp.asarray(slots), axis=0)
+        sel = np.asarray(
+            mmr_select_batch(
+                emb,
+                jnp.asarray(rel),
+                _bucket_k(top_k),
+                diversity_factor,
+                jnp.asarray(counts),
+            )
+        )[:, :top_k]
+        return [
+            [per[qi][int(i)] for i in sel[qi] if i >= 0] for qi in range(nq)
+        ]
 
     def _mmr_one(
         self, results: List[SearchResult], top_k: int, diversity_factor: float

@@ -101,6 +101,24 @@ def mmr_select_host(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def mmr_select_batch(
+    embeddings: jax.Array,   # [Q, P, D]
+    relevance: jax.Array,    # [Q, P]
+    k: int,
+    diversity_factor: jax.Array | float,
+    valid_counts: jax.Array,  # [Q]
+) -> jax.Array:
+    """Batched fully-on-device MMR: vmapped greedy loops, one dispatch,
+    [Q, k] indices out. The batched search path uses this so only ~Q*k
+    int32s cross the device boundary (fetching the [Q, P, P] similarity
+    matrices instead costs tens of MB — seconds through a TPU tunnel)."""
+    lam = jnp.float32(diversity_factor)
+    return jax.vmap(
+        lambda e, r, v: mmr_select.__wrapped__(e, r, k, lam, valid_count=v)
+    )(embeddings, relevance, valid_counts)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def mmr_select(
     embeddings: jax.Array,
     relevance: jax.Array,

@@ -76,6 +76,22 @@ def main() -> int:
             f"({len(queries) / el:.1f} qps single-stream)", flush=True,
         )
 
+        # batched engine path (what the server micro-batcher drives):
+        # includes query embedding, lexical scoring, device dispatch,
+        # rerank-absent blending, MMR — per-batch host+device cost
+        for bq in (16, 64):
+            batch = [f"batched query {i} alpha beta" for i in range(bq)]
+            eng.search_with_diversity_batch(batch, top_k, 0.3)  # warm shapes
+            batch = [f"batched query {i} gamma delta" for i in range(bq)]
+            t0 = time.monotonic()
+            out = eng.search_with_diversity_batch(batch, top_k, 0.3)
+            el = time.monotonic() - t0
+            assert len(out) == bq and out[0]
+            print(
+                f"engine batched x{bq}: {el * 1000:.1f} ms/batch -> "
+                f"{bq / el:.1f} qps engine-level", flush=True,
+            )
+
         # oracle validation of the first stage on 3 queries
         import oracle_check
 

@@ -52,6 +52,24 @@ def test_diversity_batch_matches_single(engine):
         assert [r.chunk_id for r in single] == [r.chunk_id for r in batch_res]
 
 
+def test_diversity_batch_device_mmr_matches_host(engine, monkeypatch):
+    """The batched on-device MMR path (used for large batches) must select
+    the same chunks as the host-greedy path, modulo arbitrary tie order."""
+    host = engine.search_with_diversity_batch(QUERIES, 3, 0.4)
+    monkeypatch.setenv("RAG_TPU_BATCH_DEVICE_MMR", "1")
+    dev = engine.search_with_diversity_batch(QUERIES, 3, 0.4)
+    for h, d in zip(host, dev):
+        assert [r.chunk_id for r in h] == [r.chunk_id for r in d]
+
+
+def test_diversity_batch_device_mmr_empty_pool(engine, monkeypatch):
+    monkeypatch.setenv("RAG_TPU_BATCH_DEVICE_MMR", "1")
+    out = engine.search_with_diversity_batch(
+        ["tomato compost", "zz-no-match-at-all"], 2, 0.5
+    )
+    assert len(out) == 2 and out[0]
+
+
 def test_batch_with_empty_query_slot(engine):
     out = engine.search_batch(["tomato", ""], 2)
     assert len(out) == 2
