@@ -9,6 +9,9 @@ Route surface mirrors the reference (mcp_server.rs:573-582):
   GET  /jobs/active  — active reindex job or null
   GET  /jobs/{id}    — job status
   POST {MCP_HTTP_ENDPOINT} (default /mcp) — MCP JSON-RPC
+  GET  {MCP_HTTP_ENDPOINT} — per-session SSE server-push channel
+       (Last-Event-ID resumption; carries reindex job progress)
+  DELETE {MCP_HTTP_ENDPOINT} — terminate the MCP session
 
 Engine calls run in a thread executor under a reader-writer lock so
 searches are concurrent while ingest takes brief write locks.
@@ -32,6 +35,7 @@ from rust_local_rag_tpu.jobs.job_manager import JobManager
 from rust_local_rag_tpu.jobs.worker import JobRequest, WorkerSupervisor
 from rust_local_rag_tpu.server.batcher import SearchBatcher
 from rust_local_rag_tpu.server.mcp import McpHandler
+from rust_local_rag_tpu.server.sessions import McpSessionHub, job_notification
 from rust_local_rag_tpu.utils.rwlock import RwLock
 
 logger = logging.getLogger(__name__)
@@ -56,6 +60,9 @@ class AppContext:
         self.documents_dir = documents_dir
         # coalesces concurrent searches into one device pass
         self.batcher = SearchBatcher(engine, engine_lock)
+        # set by build_app: threadsafe callback fired when a job starts,
+        # drives SSE job progress push (sessions.py)
+        self.on_job_started = None
 
     # --- sync operations (called inside an executor) ---
 
@@ -78,6 +85,11 @@ class AppContext:
         if job is None:
             return None
         self.supervisor.submit(JobRequest(job.job_id, self.documents_dir))
+        if self.on_job_started is not None:
+            try:
+                self.on_job_started(job.job_id)
+            except Exception:  # noqa: BLE001
+                logger.debug("on_job_started hook failed", exc_info=True)
         return job
 
     def get_job(self, job_id: str):
@@ -116,6 +128,7 @@ async def _in_executor(fn, *args):
 def build_app(ctx: AppContext) -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     mcp = McpHandler(ctx)
+    hub = McpSessionHub()
 
     async def healthz(request: web.Request) -> web.Response:
         return web.Response(status=200)
@@ -209,17 +222,22 @@ def build_app(ctx: AppContext) -> web.Application:
                 },
                 status=400,
             )
-        response = await _in_executor(mcp.handle, payload)
-        # streamable-HTTP session management: assign an id on initialize,
-        # echo whatever the client presents afterwards (tools here are
-        # stateless, so the id is bookkeeping for spec-compliant clients)
+        # streamable-HTTP session management (rmcp StreamableHttpService
+        # equivalent, mcp_server.rs:546-563): a session is created on
+        # `initialize`; later requests echo the id. A presented-but-unknown
+        # id gets 404 so spec-following clients re-initialize; requests
+        # with NO id are served statelessly (the tools need no session).
         headers = {}
+        sid = request.headers.get("Mcp-Session-Id")
+        if sid is not None and hub.get(sid) is None and not (
+            isinstance(payload, dict) and payload.get("method") == "initialize"
+        ):
+            return web.Response(status=404)
+        response = await _in_executor(mcp.handle, payload)
         if isinstance(payload, dict) and payload.get("method") == "initialize":
-            import uuid as _uuid
-
-            headers["Mcp-Session-Id"] = _uuid.uuid4().hex
-        elif "Mcp-Session-Id" in request.headers:
-            headers["Mcp-Session-Id"] = request.headers["Mcp-Session-Id"]
+            headers["Mcp-Session-Id"] = hub.create().session_id
+        elif sid is not None:
+            headers["Mcp-Session-Id"] = sid
         if response is None:  # notification
             return web.Response(status=202, headers=headers)
         accept = request.headers.get("Accept", "")
@@ -240,12 +258,108 @@ def build_app(ctx: AppContext) -> web.Application:
     app.router.add_post("/reindex", http_reindex)
     app.router.add_get("/jobs/active", http_active_job)
     app.router.add_get("/jobs/{job_id}", http_job_status)
-    async def mcp_get(request: web.Request) -> web.Response:
-        # streamable-HTTP clients may GET to open a server-push channel;
-        # this server is request/response only — advertise POST
-        return web.Response(status=405, headers={"Allow": "POST"})
+    async def mcp_get(request: web.Request) -> web.StreamResponse:
+        """Persistent server-push SSE channel for a session (streamable-HTTP
+        GET). Supports Last-Event-ID resumption from the per-session replay
+        buffer; carries reindex job progress notifications."""
+        if "text/event-stream" not in request.headers.get("Accept", ""):
+            return web.Response(status=405, headers={"Allow": "POST"})
+        sid = request.headers.get("Mcp-Session-Id")
+        if not sid:
+            return web.Response(status=400, text="Mcp-Session-Id required")
+        session = hub.get(sid)
+        if session is None:
+            return web.Response(status=404)
+        last_id = None
+        raw = request.headers.get("Last-Event-ID")
+        if raw is not None:
+            try:
+                last_id = int(raw)
+            except ValueError:
+                last_id = None
+        resp = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-store",
+                "Mcp-Session-Id": sid,
+            },
+        )
+        await resp.prepare(request)
+        q = session.subscribe(last_id)
+        try:
+            while True:
+                try:
+                    item = await asyncio.wait_for(q.get(), timeout=15)
+                except asyncio.TimeoutError:
+                    await resp.write(b": keep-alive\n\n")
+                    continue
+                if item is None:  # session terminated (DELETE)
+                    break
+                eid, data = item
+                await resp.write(
+                    f"id: {eid}\nevent: message\ndata: {data}\n\n".encode()
+                )
+        except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        finally:
+            session.unsubscribe(q)
+        return resp
+
+    async def mcp_delete(request: web.Request) -> web.Response:
+        sid = request.headers.get("Mcp-Session-Id")
+        if not sid:
+            return web.Response(status=400, text="Mcp-Session-Id required")
+        return web.Response(status=200 if hub.drop(sid) else 404)
+
+    async def _watch_job(job_id: str) -> None:
+        """Poll one job until terminal, broadcasting every status/progress
+        change as an MCP notification over the session SSE channels
+        (server-push replaces the reference's poll-only get_job_status).
+        Broadcasts land in each session's replay buffer, so even a client
+        that reconnects later sees the transitions (Last-Event-ID)."""
+        last = None
+        while True:
+            try:
+                job = await _in_executor(ctx.get_job, job_id)
+            except Exception:  # noqa: BLE001
+                logger.debug("job progress fetch failed", exc_info=True)
+                return
+            if job is None:
+                return
+            snap = (job.status.value, job.progress, job.total)
+            if snap != last:
+                hub.broadcast(job_notification(job))
+                last = snap
+            if job.status.value in ("completed", "failed"):
+                return
+            await asyncio.sleep(0.4)
+
+    async def _job_progress_pusher(app: web.Application):
+        """Install the threadsafe job-started hook (jobs start inside
+        executor threads) and reap watcher tasks on shutdown."""
+        loop = asyncio.get_running_loop()
+        tasks: set = set()
+
+        def on_started(job_id: str) -> None:
+            def spawn() -> None:
+                t = loop.create_task(_watch_job(job_id))
+                tasks.add(t)
+                t.add_done_callback(tasks.discard)
+
+            loop.call_soon_threadsafe(spawn)
+
+        ctx.on_job_started = on_started
+        yield
+        ctx.on_job_started = None
+        for t in list(tasks):
+            t.cancel()
+        await asyncio.gather(*tasks, return_exceptions=True)
 
     endpoint = get_mcp_http_endpoint()
     app.router.add_post(endpoint, mcp_endpoint)
     app.router.add_get(endpoint, mcp_get)
+    app.router.add_delete(endpoint, mcp_delete)
+    app.cleanup_ctx.append(_job_progress_pusher)
+    app["mcp_hub"] = hub
     return app

@@ -75,6 +75,7 @@ class ServerFixture:
         from aiohttp import web
 
         app = build_app(self.ctx)
+        self.app = app
         started = threading.Event()
 
         def run():
@@ -383,3 +384,123 @@ def test_mcp_get_endpoint_405(server):
     r = requests.get(f"{server.base}/mcp")
     assert r.status_code == 405
     assert r.headers.get("Allow") == "POST"
+
+
+def _init_session(server) -> str:
+    r = requests.post(
+        f"{server.base}/mcp",
+        json={"jsonrpc": "2.0", "id": 1, "method": "initialize",
+              "params": {"protocolVersion": "2025-03-26"}},
+    )
+    sid = r.headers.get("Mcp-Session-Id")
+    assert sid
+    return sid
+
+
+def _broadcast(server, message: dict) -> None:
+    """Publish a server-push message from the test thread (the hub's queues
+    are event-loop-affine, so hop onto the server loop)."""
+    hub = server.app["mcp_hub"]
+    server._loop.call_soon_threadsafe(hub.broadcast, message)
+
+
+def _read_sse_events(resp, want: int, timeout: float = 10.0):
+    """Collect (id, data) pairs from a streaming SSE response."""
+    events, eid = [], None
+    deadline = time.time() + timeout
+    for raw in resp.iter_lines(decode_unicode=True):
+        if time.time() > deadline:
+            break
+        if raw.startswith("id: "):
+            eid = int(raw[4:])
+        elif raw.startswith("data: "):
+            events.append((eid, json.loads(raw[6:])))
+            if len(events) >= want:
+                break
+    return events
+
+
+def test_mcp_sse_channel_push_and_resume(server):
+    sid = _init_session(server)
+    note = {"jsonrpc": "2.0", "method": "notifications/message",
+            "params": {"level": "info", "data": {"n": 1}}}
+    with requests.get(
+        f"{server.base}/mcp",
+        headers={"Accept": "text/event-stream", "Mcp-Session-Id": sid},
+        stream=True, timeout=10,
+    ) as r:
+        assert r.status_code == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        _broadcast(server, note)
+        events = _read_sse_events(r, want=1)
+    assert events and events[0][1]["params"]["data"]["n"] == 1
+    first_id = events[0][0]
+
+    # while disconnected, another event lands in the replay buffer...
+    note2 = dict(note, params={"level": "info", "data": {"n": 2}})
+    _broadcast(server, note2)
+    time.sleep(0.2)
+    # ...and reconnecting with Last-Event-ID replays exactly the missed one
+    with requests.get(
+        f"{server.base}/mcp",
+        headers={"Accept": "text/event-stream", "Mcp-Session-Id": sid,
+                 "Last-Event-ID": str(first_id)},
+        stream=True, timeout=10,
+    ) as r:
+        events = _read_sse_events(r, want=1)
+    assert events and events[0][1]["params"]["data"]["n"] == 2
+    assert events[0][0] == first_id + 1
+
+
+def test_mcp_sse_requires_session(server):
+    r = requests.get(
+        f"{server.base}/mcp", headers={"Accept": "text/event-stream"},
+        timeout=5,
+    )
+    assert r.status_code == 400
+    r = requests.get(
+        f"{server.base}/mcp",
+        headers={"Accept": "text/event-stream", "Mcp-Session-Id": "nope"},
+        timeout=5,
+    )
+    assert r.status_code == 404
+
+
+def test_mcp_delete_session(server):
+    sid = _init_session(server)
+    assert requests.delete(
+        f"{server.base}/mcp", headers={"Mcp-Session-Id": sid}
+    ).status_code == 200
+    assert requests.delete(
+        f"{server.base}/mcp", headers={"Mcp-Session-Id": sid}
+    ).status_code == 404
+    # a dead session is rejected on POST too (client must re-initialize)
+    r = requests.post(
+        f"{server.base}/mcp",
+        json={"jsonrpc": "2.0", "id": 3, "method": "tools/list"},
+        headers={"Mcp-Session-Id": sid},
+    )
+    assert r.status_code == 404
+
+
+def test_mcp_sse_job_progress_push(server):
+    """End-to-end server push: a reindex started while an SSE channel is
+    open produces at least one job progress notification without polling."""
+    sid = _init_session(server)
+    with requests.get(
+        f"{server.base}/mcp",
+        headers={"Accept": "text/event-stream", "Mcp-Session-Id": sid},
+        stream=True, timeout=30,
+    ) as r:
+        assert r.status_code == 200
+        rr = requests.post(f"{server.base}/reindex")
+        assert rr.status_code in (200, 409)
+        events = _read_sse_events(r, want=1, timeout=25)
+    assert events, "no job progress notification arrived"
+    data = events[0][1]["params"]["data"]
+    assert data["job_id"] and data["status"]
+    # let the job finish so later tests see a quiet server
+    for _ in range(100):
+        if requests.get(f"{server.base}/jobs/active").json() is None:
+            break
+        time.sleep(0.2)
