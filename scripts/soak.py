@@ -84,10 +84,46 @@ def main() -> int:
                 errors.append(f"stats exc {e}")
             time.sleep(1.0)
 
+    def sse_listener() -> None:
+        """Holds an MCP session + SSE channel open for the whole soak,
+        counting pushed job notifications (exercises the streamable-HTTP
+        transport under churn)."""
+        s = requests.Session()
+        try:
+            r = s.post(
+                f"{base}/mcp",
+                json={"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                      "params": {"protocolVersion": "2025-03-26"}},
+                timeout=30,
+            )
+            sid = r.headers.get("Mcp-Session-Id")
+            if not sid:
+                errors.append("no MCP session id")
+                return
+            with s.get(
+                f"{base}/mcp",
+                headers={"Accept": "text/event-stream", "Mcp-Session-Id": sid},
+                stream=True, timeout=(10, max(seconds + 30, 60)),
+            ) as resp:
+                if resp.status_code != 200:
+                    errors.append(f"sse open {resp.status_code}")
+                    return
+                for line in resp.iter_lines(decode_unicode=True):
+                    if time.time() >= stop:
+                        break
+                    if line.startswith("data: "):
+                        with lock:
+                            counts["sse_events"] += 1
+        except requests.RequestException as e:
+            if time.time() < stop:
+                errors.append(f"sse exc {e}")
+
+    counts["sse_events"] = 0
     threads = [threading.Thread(target=searcher) for _ in range(6)]
     threads += [
         threading.Thread(target=reindexer),
         threading.Thread(target=poller),
+        threading.Thread(target=sse_listener, daemon=True),
     ]
     for t in threads:
         t.start()
