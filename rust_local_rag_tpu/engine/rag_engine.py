@@ -70,6 +70,18 @@ def _bucket_k(k: int) -> int:
     return k
 
 
+def _bucket_batch(n: int) -> int:
+    """Round the query-batch axis up to a power of two. The server's
+    micro-batcher coalesces bursts of arbitrary size; without bucketing,
+    every distinct burst size is a new device program (and a fresh compile
+    stall on slow TPU compile services). Padded rows are zero queries whose
+    outputs are dropped."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 @dataclass
 class SearchResult:
     """Mirror of rag_engine.rs:72-100 (serde skips None fields)."""
@@ -334,16 +346,25 @@ class RagEngine:
         resolved = ResolvedWeights.from_query_weights(weights)
         top_k = max(top_k, 1)
         nq = len(queries)
+        # Pad the query axis to a power-of-2 bucket: the micro-batcher
+        # coalesces bursts of arbitrary size, and every distinct nq would
+        # otherwise compile a fresh device program (multi-minute stalls on
+        # some TPU compile services). Padded rows are zero queries with no
+        # lexical hits; their outputs are dropped below.
+        nq_pad = _bucket_batch(nq)
 
         q_emb = self.embedding_service.get_query_embeddings(queries)
-        q_emb = np.stack([_normalize_vec(q_emb[i]) for i in range(len(queries))])
+        q_emb_p = np.zeros((nq_pad, q_emb.shape[1]), dtype=np.float32)
+        for i in range(nq):
+            q_emb_p[i] = _normalize_vec(q_emb[i])
+        q_emb = q_emb_p
 
         # Lexical candidates per query: top (top_k * 5) like the reference
         # (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the
         # device blends them scatter-free (ops/hybrid.py) so chunks outside
         # the lexical top list contribute 0 to the blend.
-        lex_slots = np.full((nq, LEX_WIDTH), -1, dtype=np.int32)
-        lex_vals = np.zeros((nq, LEX_WIDTH), dtype=np.float32)
+        lex_slots = np.full((nq_pad, LEX_WIDTH), -1, dtype=np.int32)
+        lex_vals = np.zeros((nq_pad, LEX_WIDTH), dtype=np.float32)
         for qi, query in enumerate(queries):
             pairs = self.lexical_index.score(query, top_k * 5)
             s, v = pack_sparse_lex(
@@ -387,14 +408,14 @@ class RagEngine:
             )
         if collect_sims:
             vals_b, emb_b, lex_b, idx_b, sims_b = out
-            sims_b = np.asarray(sims_b)
+            sims_b = np.asarray(sims_b)[:nq]
         else:
             vals_b, emb_b, lex_b, idx_b = out
             sims_b = None
-        vals_b = np.asarray(vals_b)[:, :initial_k]
-        emb_b = np.asarray(emb_b)[:, :initial_k]
-        lex_b = np.asarray(lex_b)[:, :initial_k]
-        idx_b = np.asarray(idx_b)[:, :initial_k]
+        vals_b = np.asarray(vals_b)[:nq, :initial_k]
+        emb_b = np.asarray(emb_b)[:nq, :initial_k]
+        lex_b = np.asarray(lex_b)[:nq, :initial_k]
+        idx_b = np.asarray(idx_b)[:nq, :initial_k]
 
         per_query_candidates: List[List[dict]] = []
         for qi in range(nq):
@@ -656,10 +677,12 @@ class RagEngine:
         nq = len(per)
         if nq == 0 or all(not r for r in per):
             return [[] for _ in per]
+        # Bucket BOTH padded axes so coalesced burst sizes reuse programs.
+        nq_pad = _bucket_batch(nq)
         p_pad = _bucket_k(max(len(r) for r in per))
-        slots = np.zeros((nq, p_pad), dtype=np.int32)
-        rel = np.full((nq, p_pad), -np.inf, dtype=np.float32)
-        counts = np.zeros((nq,), dtype=np.int32)
+        slots = np.zeros((nq_pad, p_pad), dtype=np.int32)
+        rel = np.full((nq_pad, p_pad), -np.inf, dtype=np.float32)
+        counts = np.zeros((nq_pad,), dtype=np.int32)
         for qi, results in enumerate(per):
             n = len(results)
             counts[qi] = n
@@ -770,6 +793,14 @@ class RagEngine:
         try:
             self.search_with_diversity("warmup query", 5, 0.3)
             self.search("warmup query", 5)
+            # batched path: one >= 8-query burst compiles the bucketed
+            # batch program AND the on-device batched MMR selection
+            # (query-axis bucketing means this one shape covers all
+            # coalesced burst sizes up to 8; larger buckets compile on
+            # first use)
+            self.search_with_diversity_batch(
+                [f"warmup query {i}" for i in range(8)], 5, 0.3
+            )
         except Exception as e:  # noqa: BLE001
             logger.warning("Warmup failed (non-fatal): %s", e)
             return

@@ -70,6 +70,20 @@ def test_diversity_batch_device_mmr_empty_pool(engine, monkeypatch):
     assert len(out) == 2 and out[0]
 
 
+def test_odd_batch_sizes_match_single(engine):
+    """The query axis is padded to power-of-2 buckets on device; padded
+    rows must never leak into results."""
+    for nq in (1, 3, 5, 7):
+        qs = [QUERIES[i % len(QUERIES)] for i in range(nq)]
+        batched = engine.search_batch(qs, 3)
+        assert len(batched) == nq
+        for q, batch_res in zip(qs, batched):
+            single = engine.search(q, 3)
+            assert [r.chunk_id for r in single] == [
+                r.chunk_id for r in batch_res
+            ], f"nq={nq} q={q}"
+
+
 def test_batch_with_empty_query_slot(engine):
     out = engine.search_batch(["tomato", ""], 2)
     assert len(out) == 2
