@@ -177,6 +177,16 @@ def get_batch_size() -> int:
         return 128
 
 
+def get_batch_timeout_s() -> float:
+    """Hard per-batch embedding timeout during ingest. The reference aborts
+    an embed batch after 20 minutes (embeddings.rs:118-140) so one stuck
+    call cannot hang a reindex job forever; same default here. 0 disables."""
+    try:
+        return float(os.environ.get("EMBEDDING_BATCH_TIMEOUT_S", "1200"))
+    except ValueError:
+        return 1200.0
+
+
 def get_batch_cooldown_ms() -> int:
     """Cooldown between embed batches (reference: 500ms thermal recovery,
     rag_engine.rs:26-33). TPU default: 0 — no thermal constraint."""

@@ -83,6 +83,14 @@ class WorkerSupervisor:
     def submit(self, request: JobRequest) -> None:
         self.queue.put(request)
 
+    def is_healthy(self) -> bool:
+        """False only when the supervisor thread died UNEXPECTEDLY — the
+        server watchdog escalates that to a shutdown (main.rs:183-215).
+        An intentional stop() is healthy."""
+        if self._stopping.is_set():
+            return True
+        return self._supervisor is not None and self._supervisor.is_alive()
+
     def _resume_jobs(self) -> None:
         """worker.rs:141-154"""
         try:

@@ -13,6 +13,7 @@ swapping HTTP-to-Ollama for on-device batch encoding:
 
 from __future__ import annotations
 
+import concurrent.futures
 import logging
 import os
 import time
@@ -20,7 +21,11 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from rust_local_rag_tpu.config import get_batch_cooldown_ms, get_batch_size
+from rust_local_rag_tpu.config import (
+    get_batch_cooldown_ms,
+    get_batch_size,
+    get_batch_timeout_s,
+)
 from rust_local_rag_tpu.utils.lru import LruCache
 
 logger = logging.getLogger(__name__)
@@ -34,6 +39,29 @@ class EmbeddingService:
         (TransformerEncoderModel or HashEncoder)."""
         self._model = model
         self._cache: LruCache[str, np.ndarray] = LruCache(query_cache_size)
+        self._executor: Optional[concurrent.futures.ThreadPoolExecutor] = None
+
+    def _encode_with_timeout(self, fn, timeout_s: float):
+        """Run one embed call under a hard timeout (embeddings.rs:118-140:
+        the reference aborts a batch after 20 min so a stuck backend cannot
+        hang a reindex job). On timeout the worker thread is abandoned — a
+        wedged device call cannot be interrupted from Python — and a fresh
+        executor serves subsequent batches."""
+        if timeout_s <= 0:
+            return fn()
+        if self._executor is None:
+            self._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="embed-batch"
+            )
+        fut = self._executor.submit(fn)
+        try:
+            return fut.result(timeout=timeout_s)
+        except concurrent.futures.TimeoutError:
+            self._executor.shutdown(wait=False, cancel_futures=True)
+            self._executor = None
+            raise RuntimeError(
+                f"Embedding batch timed out after {timeout_s:.0f}s"
+            ) from None
 
     @property
     def model_name(self) -> str:
@@ -122,6 +150,7 @@ class EmbeddingService:
         cooldown = (
             cooldown_ms if cooldown_ms is not None else get_batch_cooldown_ms()
         )
+        timeout_s = get_batch_timeout_s()
         total = len(texts)
         total_batches = -(-total // bs)
 
@@ -135,7 +164,10 @@ class EmbeddingService:
         for bi in range(total_batches):
             lo, hi = bi * bs, min((bi + 1) * bs, total)
             idxs = order[lo:hi]
-            batch = self.embed_texts([texts[i] for i in idxs])
+            batch_texts = [texts[i] for i in idxs]
+            batch = self._encode_with_timeout(
+                lambda bt=batch_texts: self.embed_texts(bt), timeout_s
+            )
             if batch.shape[0] != hi - lo:
                 raise RuntimeError(
                     f"Batch {bi + 1}/{total_batches}: received "

@@ -130,9 +130,15 @@ class RerankerService:
         initial scores if the pass fails; sort by relevance desc."""
         if not candidates:
             return []
+        # Per-phase latency instrumentation (the reference times 5 phases of
+        # its rerank loop, reranker.rs:321-441; here scoring is one batched
+        # device pass so the phases are prompt-build / device-score / sort).
+        t0 = time.perf_counter()
         prompts = [self.build_prompt(query, c) for c in candidates]
+        t_build = time.perf_counter()
         try:
             scored = self._model.score_prompts(prompts)
+            t_score = time.perf_counter()
             results = [
                 RerankedResult(
                     chunk_id=c.chunk_id,
@@ -142,6 +148,13 @@ class RerankerService:
                 )
                 for c, (s, y, n) in zip(candidates, scored)
             ]
+            logger.debug(
+                "rerank phases: build_prompts=%.1fms score=%.1fms "
+                "(%d candidates)",
+                (t_build - t0) * 1000.0,
+                (t_score - t_build) * 1000.0,
+                len(candidates),
+            )
         except Exception as e:  # noqa: BLE001
             logger.warning(
                 "Reranker scoring failed, falling back to initial scores: %s", e

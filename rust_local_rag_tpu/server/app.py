@@ -199,6 +199,19 @@ def main(argv: Optional[list] = None) -> int:
 
     ctx.supervisor.start()
     logger.info("Worker supervisor started")
+
+    # Profiling hook (SURVEY §5.1 TPU equivalent of the reference's tracing
+    # layer): RAG_TPU_PROFILE_PORT starts the JAX profiler server, so
+    # TensorBoard / xprof can capture device traces from a live server.
+    profile_port = os.environ.get("RAG_TPU_PROFILE_PORT")
+    if profile_port:
+        try:
+            import jax
+
+            jax.profiler.start_server(int(profile_port))
+            logger.info("JAX profiler server on port %s", profile_port)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Profiler server failed to start: %s", e)
     ctx.engine.warmup()  # pre-compile search programs (non-fatal)
     logger.info("Data directory: %s", config.get_data_dir())
     logger.info("Documents directory: %s", config.get_documents_dir())

@@ -356,10 +356,49 @@ def build_app(ctx: AppContext) -> web.Application:
             t.cancel()
         await asyncio.gather(*tasks, return_exceptions=True)
 
+    async def _supervisor_watchdog(app: web.Application):
+        """If the worker-supervisor thread dies unexpectedly, escalate to a
+        server shutdown rather than serving with a dead ingest pipeline
+        (main.rs:183-215 watchdog equivalent). The escalation raises
+        SIGTERM against this process, which aiohttp turns into the normal
+        graceful-shutdown path (flush + save)."""
+        import os as _os2
+        import signal as _signal
+
+        interval = float(
+            _os2.environ.get("RAG_TPU_WATCHDOG_INTERVAL_S", "5")
+        )
+
+        def default_escalate() -> None:
+            _os2.kill(_os2.getpid(), _signal.SIGTERM)
+
+        app.setdefault("watchdog_escalate", default_escalate)
+
+        async def watch() -> None:
+            while True:
+                await asyncio.sleep(interval)
+                sup = ctx.supervisor
+                if sup is not None and not sup.is_healthy():
+                    logger.critical(
+                        "Worker supervisor died unexpectedly; "
+                        "shutting down server"
+                    )
+                    app["watchdog_escalate"]()
+                    return
+
+        task = asyncio.create_task(watch())
+        yield
+        task.cancel()
+        try:
+            await task
+        except asyncio.CancelledError:
+            pass
+
     endpoint = get_mcp_http_endpoint()
     app.router.add_post(endpoint, mcp_endpoint)
     app.router.add_get(endpoint, mcp_get)
     app.router.add_delete(endpoint, mcp_delete)
     app.cleanup_ctx.append(_job_progress_pusher)
+    app.cleanup_ctx.append(_supervisor_watchdog)
     app["mcp_hub"] = hub
     return app

@@ -123,6 +123,54 @@ def test_service_verify():
     svc.verify()  # must not raise
 
 
+def test_embed_batch_hard_timeout(monkeypatch):
+    """A stuck embed batch must abort with an error (embeddings.rs:118-140
+    hard-timeout equivalent), not hang the ingest job forever."""
+    import time as _time
+
+    class StuckEncoder:
+        model_name = "stuck"
+        dim = 8
+
+        def encode(self, texts):
+            _time.sleep(5.0)
+            return np.zeros((len(texts), 8), dtype=np.float32)
+
+    monkeypatch.setenv("EMBEDDING_BATCH_TIMEOUT_S", "0.2")
+    svc = EmbeddingService(StuckEncoder())
+    t0 = _time.monotonic()
+    with pytest.raises(RuntimeError, match="timed out"):
+        svc.embed_in_batches(["a", "b"], batch_size=2, cooldown_ms=0)
+    assert _time.monotonic() - t0 < 3.0  # aborted, did not wait out the sleep
+
+
+def test_embed_batch_timeout_recovers(monkeypatch):
+    """After a timeout abandons the worker thread, the next batch gets a
+    fresh executor and succeeds."""
+    import time as _time
+
+    class FlakyOnceEncoder:
+        model_name = "flaky"
+        dim = 8
+
+        def __init__(self):
+            self.calls = 0
+
+        def encode(self, texts):
+            self.calls += 1
+            if self.calls == 1:
+                _time.sleep(5.0)
+            return np.ones((len(texts), 8), dtype=np.float32)
+
+    monkeypatch.setenv("EMBEDDING_BATCH_TIMEOUT_S", "0.2")
+    svc = EmbeddingService(FlakyOnceEncoder())
+    with pytest.raises(RuntimeError):
+        svc.embed_in_batches(["a"], batch_size=1, cooldown_ms=0)
+    monkeypatch.setenv("EMBEDDING_BATCH_TIMEOUT_S", "30")
+    out = svc.embed_in_batches(["b"], batch_size=1, cooldown_ms=0)
+    assert out.shape == (1, 8)
+
+
 # ----- reranker -----
 
 def test_softmax_yes_no_formula():

@@ -380,6 +380,35 @@ def test_mcp_session_id_issued_and_echoed(server):
     assert r2.headers.get("Mcp-Session-Id") == sid
 
 
+def test_supervisor_watchdog_escalates(tmp_path, monkeypatch):
+    """If the worker supervisor thread dies unexpectedly, the watchdog
+    escalates to a server shutdown (main.rs:183-215 equivalent)."""
+    monkeypatch.setenv("RAG_TPU_WATCHDOG_INTERVAL_S", "0.2")
+    srv = ServerFixture(tmp_path)
+    srv.start()
+    try:
+        fired = threading.Event()
+        srv.app["watchdog_escalate"] = fired.set
+        # simulate an unexpected supervisor death: swap in a dead thread
+        dead = threading.Thread(target=lambda: None)
+        dead.start()
+        dead.join()
+        srv.sup._supervisor = dead
+        assert fired.wait(5), "watchdog did not fire"
+    finally:
+        srv.stop()
+
+
+def test_supervisor_watchdog_quiet_on_intentional_stop(tmp_path, monkeypatch):
+    monkeypatch.setenv("RAG_TPU_WATCHDOG_INTERVAL_S", "0.2")
+    srv = ServerFixture(tmp_path)
+    srv.start()
+    fired = threading.Event()
+    srv.app["watchdog_escalate"] = fired.set
+    srv.stop()  # intentional: sets _stopping before the thread exits
+    assert not fired.wait(1), "watchdog fired on intentional stop"
+
+
 def test_mcp_get_endpoint_405(server):
     r = requests.get(f"{server.base}/mcp")
     assert r.status_code == 405
