@@ -53,26 +53,62 @@ class ChunkStore:
         dtype=jnp.float32,
         initial_capacity: int = 1024,
         quantized: bool = False,
+        mesh=None,
+        corpus_axis: str = "corpus",
     ):
         """quantized=True stores per-row symmetric int8 values + f32 scales
         (half the HBM of bf16 / quarter of f32 — the full 10M x 768 target
         corpus fits ONE v5e chip; see ops/quantized.py for the two-phase
-        search that keeps final ordering in f32)."""
+        search that keeps final ordering in f32).
+
+        mesh: optional jax.sharding.Mesh — the slab and mask are placed
+        ROW-SHARDED over `corpus_axis` (multi-chip corpora beyond one HBM;
+        searched with parallel/sharded_search.sharded_hybrid_topk). Slab
+        updates (.at[].set / concatenate-grow) preserve the sharding via
+        GSPMD propagation; compaction re-places explicitly.
+        """
         self.dim = int(dim)
         self.quantized = bool(quantized)
         self.dtype = jnp.int8 if quantized else dtype
+        self.mesh = mesh
+        self._row_sharding = None
+        self._mask_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._row_sharding = NamedSharding(mesh, P(corpus_axis, None))
+            self._mask_sharding = NamedSharding(mesh, P(corpus_axis))
+            n_shards = mesh.shape[corpus_axis]
+            while initial_capacity % n_shards:
+                initial_capacity += 1
         self._capacity = int(initial_capacity)
-        self._emb = jnp.zeros((self._capacity, self.dim), dtype=self.dtype)
+        self._emb = self._place_rows(
+            jnp.zeros((self._capacity, self.dim), dtype=self.dtype)
+        )
         self._scales = (
-            jnp.zeros((self._capacity, 1), dtype=jnp.float32)
+            self._place_rows(
+                jnp.zeros((self._capacity, 1), dtype=jnp.float32)
+            )
             if quantized
             else None
         )
-        self._mask = jnp.zeros((self._capacity,), dtype=bool)
+        self._mask = self._place_mask(
+            jnp.zeros((self._capacity,), dtype=bool)
+        )
         self._meta: List[Optional[ChunkMeta]] = [None] * self._capacity
         self._id_to_slot: Dict[str, int] = {}
         self._free: List[int] = []
         self._high_water = 0  # slots [0, high_water) may be valid
+
+    def _place_rows(self, arr: jax.Array) -> jax.Array:
+        if self._row_sharding is not None:
+            return jax.device_put(arr, self._row_sharding)
+        return arr
+
+    def _place_mask(self, arr: jax.Array) -> jax.Array:
+        if self._mask_sharding is not None:
+            return jax.device_put(arr, self._mask_sharding)
+        return arr
 
     # ----- introspection -------------------------------------------------
 
@@ -247,14 +283,19 @@ class ChunkStore:
         self._high_water = n
         perm = np.zeros(self._capacity, dtype=np.int32)
         perm[:n] = np.asarray(live, dtype=np.int32)
-        self._emb = jnp.take(self._emb, jnp.asarray(perm), axis=0)
-        self._emb = self._emb.at[n:].set(0)
+        # gathers drop the sharding annotation — re-place afterwards
+        self._emb = self._place_rows(
+            jnp.take(self._emb, jnp.asarray(perm), axis=0).at[n:].set(0)
+        )
         if self._scales is not None:
-            self._scales = jnp.take(self._scales, jnp.asarray(perm), axis=0)
-            self._scales = self._scales.at[n:].set(0)
+            self._scales = self._place_rows(
+                jnp.take(self._scales, jnp.asarray(perm), axis=0)
+                .at[n:]
+                .set(0)
+            )
         mask = np.zeros((self._capacity,), dtype=bool)
         mask[:n] = True
-        self._mask = jnp.asarray(mask)
+        self._mask = self._place_mask(jnp.asarray(mask))
 
     # ----- persistence helpers -------------------------------------------
 

@@ -153,8 +153,39 @@ class RagEngine:
             corpus_dtype = jnp.bfloat16  # 2x capacity; bf16 data precision
         elif dtype_env == "f32":
             corpus_dtype = jnp.float32
+        # Multi-chip corpus sharding: RAG_TPU_SHARD_CORPUS=N row-shards the
+        # slab over an N-device ICI mesh and routes the first stage through
+        # parallel/sharded_search.sharded_hybrid_topk (exact merge). This is
+        # how corpora beyond one chip's HBM are served (SURVEY.md §5.8).
+        self._mesh = None
+        shards = int(_os.environ.get("RAG_TPU_SHARD_CORPUS", "0") or 0)
+        if shards > 1 and not quantized:
+            import jax as _jax
+
+            devices = _jax.devices()
+            if len(devices) >= shards:
+                from jax.sharding import Mesh
+
+                self._mesh = Mesh(
+                    np.array(devices[:shards]), ("corpus",)
+                )
+                logger.info(
+                    "Corpus sharded over %d devices (%s)",
+                    shards,
+                    devices[0].platform,
+                )
+            else:
+                logger.warning(
+                    "RAG_TPU_SHARD_CORPUS=%d but only %d devices; "
+                    "running unsharded",
+                    shards,
+                    len(devices),
+                )
         self.store = ChunkStore(
-            dim=embedding_service.dim, dtype=corpus_dtype, quantized=quantized
+            dim=embedding_service.dim,
+            dtype=corpus_dtype,
+            quantized=quantized,
+            mesh=self._mesh,
         )
         # native C++ index when built (see native/), Python fallback
         self.lexical_index = make_lexical_index()
@@ -392,6 +423,23 @@ class RagEngine:
                 jnp.float32(resolved.embedding),
                 jnp.float32(resolved.lexical),
                 _bucket_k(initial_k),
+                with_sims=collect_sims,
+            )
+        elif self._mesh is not None:
+            from rust_local_rag_tpu.parallel.sharded_search import (
+                sharded_hybrid_topk,
+            )
+
+            out = sharded_hybrid_topk(
+                jnp.asarray(q_emb),
+                self.store.corpus(),
+                self.store.valid_mask(),
+                jnp.asarray(lex_slots),
+                jnp.asarray(lex_vals),
+                jnp.float32(resolved.embedding),
+                jnp.float32(resolved.lexical),
+                _bucket_k(initial_k),
+                mesh=self._mesh,
                 with_sims=collect_sims,
             )
         else:

@@ -118,6 +118,176 @@ def sharded_topk(
     return fn(queries, corpus, jnp.asarray([vc], dtype=jnp.int32))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "corpus_axis", "with_sims")
+)
+def sharded_hybrid_topk(
+    queries: jax.Array,      # [Q, D] unit-normalized, replicated
+    corpus: jax.Array,       # [N, D] slab, row-sharded over corpus_axis
+    valid_mask: jax.Array,   # [N] bool, sharded like the slab
+    lex_slots: jax.Array,    # [Q, L] int32 GLOBAL slot ids (-1 pad), replicated
+    lex_vals: jax.Array,     # [Q, L] f32 raw BM25 scores, replicated
+    w_embedding: jax.Array,
+    w_lexical: jax.Array,
+    k: int,
+    mesh: Mesh,
+    corpus_axis: str = "corpus",
+    with_sims: bool = False,
+):
+    """Corpus-sharded variant of ops/hybrid.hybrid_topk — same contract,
+    exact same results (up to cross-shard tie order).
+
+    Each shard runs the scatter-free union blend on its rows: local exact
+    top-k over blended scores plus its local lexical hit slots; the
+    per-shard candidates ride ONE all_gather over ICI and a final top-k
+    merges them. Exactness: a global blended top-k element placed on shard
+    s has < k better elements globally, hence < k within s, so it is inside
+    s's local blended top-k (or is one of s's lexical slots, which are all
+    carried). The lexical normalization (per-query max over the FULL hit
+    list, f32::EPSILON floor — rag_engine.rs:515-519) is computed from the
+    replicated hit list, so every shard uses the identical denominator.
+    """
+    qn = queries.shape[0]
+    n = corpus.shape[0]
+    n_shards = mesh.shape[corpus_axis]
+    if n % n_shards != 0:
+        raise ValueError(
+            f"slab rows {n} must divide across {n_shards} shards"
+        )
+    rows = n // n_shards
+    k_local = min(k, rows)
+
+    def local(q, c_shard, m_shard, slots, lvals):
+        shard_id = jax.lax.axis_index(corpus_axis)
+        base = shard_id * rows
+
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if c_shard.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        emb = jnp.einsum(
+            "qd,nd->qn", q, c_shard,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        masked_emb = jnp.where(m_shard[None, :], emb, NEG_INF)
+        if rows >= 65536:
+            from rust_local_rag_tpu.ops.fast_topk import (
+                segmented_exact_topk_scores,
+            )
+
+            e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
+                masked_emb, k_local
+            )
+        else:
+            e_vals, e_idx = jax.lax.top_k(masked_emb, k_local)
+        e_idx = e_idx.astype(jnp.int32)
+
+        # global lexical normalization from the replicated hit list
+        lex_pad = slots < 0
+        lv = jnp.where(lex_pad, 0.0, lvals.astype(jnp.float32))
+        max_lex = jnp.maximum(
+            jnp.max(lv, axis=1, keepdims=True), jnp.float32(1.1920929e-07)
+        )
+        lexn_sparse = lv / max_lex  # [Q, L]
+
+        # localize: hits on THIS shard get a local slot; others are dead
+        local_slot = slots - base
+        on_shard = (~lex_pad) & (local_slot >= 0) & (local_slot < rows)
+
+        # e-side candidates: add any local lexical contribution
+        match_e = e_idx[:, :, None] == jnp.where(
+            on_shard, local_slot, -2
+        )[:, None, :]
+        e_lexn = jnp.sum(
+            jnp.where(match_e, lexn_sparse[:, None, :], 0.0), axis=2
+        )
+        e_dead = e_vals == NEG_INF
+        e_comb = jnp.where(
+            e_dead, NEG_INF, w_embedding * e_vals + w_lexical * e_lexn
+        )
+
+        # l-side candidates: this shard's lexical hits only
+        safe_local = jnp.where(on_shard, local_slot, 0)
+        l_emb = jnp.take_along_axis(masked_emb, safe_local, axis=1)
+        dup = jnp.any(
+            jnp.where(on_shard, local_slot, -2)[:, :, None]
+            == jnp.where(e_dead, -3, e_idx)[:, None, :],
+            axis=2,
+        )
+        l_dead = ~on_shard | dup | ~jnp.isfinite(l_emb)
+        l_comb = jnp.where(
+            l_dead, NEG_INF, w_embedding * l_emb + w_lexical * lexn_sparse
+        )
+
+        comb = jnp.concatenate([e_comb, l_comb], axis=1)   # [Q, k_local+L]
+        embs = jnp.concatenate([e_vals, l_emb], axis=1)
+        lexn = jnp.concatenate([e_lexn, lexn_sparse], axis=1)
+        gidx = jnp.concatenate(
+            [
+                jnp.where(e_dead, -1, e_idx + base),
+                jnp.where(on_shard, slots, -1),
+            ],
+            axis=1,
+        )
+        # per-shard top-k over the union keeps the all_gather payload small
+        s_vals, sel = jax.lax.top_k(comb, k_local)
+        s_emb = jnp.take_along_axis(embs, sel, axis=1)
+        s_lexn = jnp.take_along_axis(lexn, sel, axis=1)
+        s_idx = jnp.take_along_axis(gidx, sel, axis=1)
+
+        av = jax.lax.all_gather(s_vals, corpus_axis)   # [S, Q, k_local]
+        ae = jax.lax.all_gather(s_emb, corpus_axis)
+        al = jax.lax.all_gather(s_lexn, corpus_axis)
+        ai = jax.lax.all_gather(s_idx, corpus_axis)
+        fv = jnp.transpose(av, (1, 0, 2)).reshape(qn, -1)
+        fe = jnp.transpose(ae, (1, 0, 2)).reshape(qn, -1)
+        fl = jnp.transpose(al, (1, 0, 2)).reshape(qn, -1)
+        fi = jnp.transpose(ai, (1, 0, 2)).reshape(qn, -1)
+
+        kk = min(k, fv.shape[1])
+        vals, sel2 = jax.lax.top_k(fv, kk)
+        emb_k = jnp.take_along_axis(fe, sel2, axis=1)
+        lex_k = jnp.take_along_axis(fl, sel2, axis=1)
+        idx = jnp.take_along_axis(fi, sel2, axis=1)
+        if kk < k:
+            pad = k - kk
+            vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            emb_k = jnp.pad(emb_k, ((0, 0), (0, pad)))
+            lex_k = jnp.pad(lex_k, ((0, 0), (0, pad)))
+            idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        idx = jnp.where(vals == NEG_INF, -1, idx)
+        return vals, emb_k, lex_k, idx.astype(jnp.int32)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(corpus_axis, None), P(corpus_axis), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    vals, emb_k, lex_k, idx = fn(
+        queries, corpus, valid_mask, lex_slots, lex_vals
+    )
+    if not with_sims:
+        return vals, emb_k, lex_k, idx
+    # candidate pairwise sims for MMR: gathered OUTSIDE the shard_map so
+    # GSPMD inserts the cross-shard gather collectives automatically
+    safe = jnp.maximum(idx, 0)
+    cand = jnp.take(corpus, safe.reshape(-1), axis=0).reshape(
+        qn, k, corpus.shape[1]
+    )
+    sims = jnp.einsum(
+        "qkd,qjd->qkj", cand, cand,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return vals, emb_k, lex_k, idx, sims
+
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
 def shard_corpus(corpus, mesh: Mesh, corpus_axis: str = "corpus"):
     """Place a [N, D] host/global array row-sharded over the mesh."""
     sharding = NamedSharding(mesh, P(corpus_axis, None))
