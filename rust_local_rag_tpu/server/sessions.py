@@ -30,6 +30,7 @@ class McpSession:
     def __init__(self, session_id: str):
         self.session_id = session_id
         self.created = time.time()
+        self.last_seen = self.created
         self._next_event_id = 1
         self._buffer: Deque[Tuple[int, str]] = collections.deque(
             maxlen=REPLAY_BUFFER
@@ -70,18 +71,66 @@ class McpSession:
 
 class McpSessionHub:
     """Registry of live MCP sessions (created on `initialize`, removed on
-    DELETE). Also the broadcast point for server-push notifications."""
+    DELETE). Also the broadcast point for server-push notifications.
 
-    def __init__(self) -> None:
+    Bounded: at most `max_sessions` live sessions — creating past the cap
+    evicts the least-recently-used listener-less session (clients that
+    initialize and vanish must not accumulate replay buffers forever).
+    Sessions idle past `idle_ttl_s` with no listeners are likewise evicted
+    on the next create."""
+
+    def __init__(
+        self,
+        max_sessions: Optional[int] = None,
+        idle_ttl_s: Optional[float] = None,
+    ) -> None:
+        import os
+
         self._sessions: Dict[str, McpSession] = {}
+        self.max_sessions = (
+            max_sessions
+            if max_sessions is not None
+            else int(os.environ.get("RAG_TPU_MAX_SESSIONS", "256"))
+        )
+        self.idle_ttl_s = (
+            idle_ttl_s
+            if idle_ttl_s is not None
+            else float(os.environ.get("RAG_TPU_SESSION_TTL_S", "3600"))
+        )
 
     def create(self) -> McpSession:
+        self._evict()
         s = McpSession(uuid.uuid4().hex)
         self._sessions[s.session_id] = s
         return s
 
+    def _evict(self) -> None:
+        now = time.time()
+        stale = [
+            sid
+            for sid, s in self._sessions.items()
+            if not s._listeners and now - s.last_seen > self.idle_ttl_s
+        ]
+        for sid in stale:
+            self.drop(sid)
+        while len(self._sessions) >= self.max_sessions:
+            victim = min(
+                (
+                    (s.last_seen, sid)
+                    for sid, s in self._sessions.items()
+                    if not s._listeners
+                ),
+                default=None,
+            )
+            if victim is None:  # every session has a live listener
+                break
+            self.drop(victim[1])
+
     def get(self, session_id: str) -> Optional[McpSession]:
-        return self._sessions.get(session_id)
+        s = self._sessions.get(session_id)
+        if s is not None:
+            s.last_seen = time.time()
+        return s
 
     def drop(self, session_id: str) -> bool:
         s = self._sessions.pop(session_id, None)

@@ -533,3 +533,72 @@ def test_mcp_sse_job_progress_push(server):
         if requests.get(f"{server.base}/jobs/active").json() is None:
             break
         time.sleep(0.2)
+
+
+def test_session_hub_eviction():
+    from rust_local_rag_tpu.server.sessions import McpSessionHub
+
+    hub = McpSessionHub(max_sessions=4, idle_ttl_s=3600)
+    sids = [hub.create().session_id for _ in range(4)]
+    assert len(hub) == 4
+    # creating past the cap evicts the oldest listener-less session
+    s5 = hub.create()
+    assert len(hub) == 4
+    assert hub.get(sids[0]) is None  # LRU victim
+    assert hub.get(s5.session_id) is not None
+
+    # sessions with live listeners are never evicted
+    hub2 = McpSessionHub(max_sessions=2, idle_ttl_s=3600)
+    a = hub2.create()
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    try:
+        loop.run_until_complete(asyncio.sleep(0))  # loop context for Queue
+        q = a.subscribe(None)
+        b = hub2.create()
+        c = hub2.create()  # must evict b (listener-less), not a
+        assert hub2.get(a.session_id) is not None
+        assert hub2.get(c.session_id) is not None
+        a.unsubscribe(q)
+    finally:
+        loop.close()
+    assert b is not None
+
+
+def test_session_hub_idle_ttl(monkeypatch):
+    from rust_local_rag_tpu.server import sessions as S
+
+    hub = S.McpSessionHub(max_sessions=100, idle_ttl_s=10)
+    old = hub.create()
+    # age the session beyond the TTL
+    old.last_seen -= 60
+    fresh = hub.create()
+    assert hub.get(old.session_id) is None
+    assert hub.get(fresh.session_id) is not None
+
+
+def test_session_eviction_over_http(tmp_path, monkeypatch):
+    """Past the session cap, POST with an evicted session id returns 404
+    (clients must re-initialize) while fresh sessions keep working."""
+    monkeypatch.setenv("RAG_TPU_MAX_SESSIONS", "3")
+    srv = ServerFixture(tmp_path, with_reranker=False)
+    srv.start()
+    try:
+        sids = [_init_session(srv) for _ in range(5)]
+        # newest still valid
+        r = requests.post(
+            f"{srv.base}/mcp",
+            json={"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+            headers={"Mcp-Session-Id": sids[-1]},
+        )
+        assert r.status_code == 200
+        # oldest was evicted by the cap
+        r = requests.post(
+            f"{srv.base}/mcp",
+            json={"jsonrpc": "2.0", "id": 3, "method": "tools/list"},
+            headers={"Mcp-Session-Id": sids[0]},
+        )
+        assert r.status_code == 404
+    finally:
+        srv.stop()
