@@ -159,7 +159,7 @@ class RagEngine:
         # how corpora beyond one chip's HBM are served (SURVEY.md §5.8).
         self._mesh = None
         shards = int(_os.environ.get("RAG_TPU_SHARD_CORPUS", "0") or 0)
-        if shards > 1 and not quantized:
+        if shards > 1:
             import jax as _jax
 
             devices = _jax.devices()
@@ -412,7 +412,25 @@ class RagEngine:
 
         initial_k = min(len(self.store), max(top_k * 3, top_k))
 
-        if self.store.quantized:
+        if self.store.quantized and self._mesh is not None:
+            from rust_local_rag_tpu.parallel.sharded_search import (
+                sharded_hybrid_topk_quantized,
+            )
+
+            out = sharded_hybrid_topk_quantized(
+                jnp.asarray(q_emb),
+                self.store.corpus(),
+                self.store.scales(),
+                self.store.valid_mask(),
+                jnp.asarray(lex_slots),
+                jnp.asarray(lex_vals),
+                jnp.float32(resolved.embedding),
+                jnp.float32(resolved.lexical),
+                _bucket_k(initial_k),
+                mesh=self._mesh,
+                with_sims=collect_sims,
+            )
+        elif self.store.quantized:
             out = hybrid_topk_quantized(
                 jnp.asarray(q_emb),
                 self.store.corpus(),

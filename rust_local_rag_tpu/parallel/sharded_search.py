@@ -288,6 +288,168 @@ def sharded_hybrid_topk(
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "corpus_axis", "with_sims")
+)
+def sharded_hybrid_topk_quantized(
+    queries: jax.Array,      # [Q, D] f32 unit-normalized, replicated
+    values: jax.Array,       # [N, D] int8 slab, row-sharded
+    scales: jax.Array,       # [N, 1] f32 row scales, sharded like the slab
+    valid_mask: jax.Array,   # [N] bool, sharded
+    lex_slots: jax.Array,    # [Q, L] int32 global slots, replicated
+    lex_vals: jax.Array,     # [Q, L] f32, replicated
+    w_embedding: jax.Array,
+    w_lexical: jax.Array,
+    k: int,
+    mesh: Mesh,
+    corpus_axis: str = "corpus",
+    with_sims: bool = False,
+):
+    """Sharded int8 capacity mode: the 10M-chunks-per-chip slab scales to
+    N chips (80M chunks on a v5e-8). Per shard this mirrors
+    ops/hybrid.hybrid_topk_quantized — int8 MXU phase-1 selection, f32
+    rescore of the local candidate union — then one all_gather merges the
+    per-shard rescored candidates. The merged union is a SUPERSET of the
+    single-device union (each shard contributes a full local top-k), so
+    the final f32 ordering is at least as faithful to the dequantized
+    corpus as the single-device path."""
+    qn = queries.shape[0]
+    n = values.shape[0]
+    d = values.shape[1]
+    n_shards = mesh.shape[corpus_axis]
+    if n % n_shards != 0:
+        raise ValueError(f"slab rows {n} must divide across {n_shards}")
+    rows = n // n_shards
+    k_local = min(k, rows)
+
+    def local(q, v_shard, s_shard, m_shard, slots, lvals):
+        shard_id = jax.lax.axis_index(corpus_axis)
+        base = shard_id * rows
+
+        # phase 1: int8 x int8 selection (ops/hybrid.py:220-231 semantics)
+        q32 = q.astype(jnp.float32)
+        q_absmax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
+        q_scale = jnp.maximum(q_absmax, 1e-10) / 127.0
+        q_int8 = jnp.clip(jnp.round(q32 / q_scale), -127, 127).astype(
+            jnp.int8
+        )
+        scores_i32 = jax.lax.dot_general(
+            q_int8, v_shard,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        emb = scores_i32.astype(jnp.float32) * q_scale * s_shard[:, 0][None, :]
+        masked_emb = jnp.where(m_shard[None, :], emb, NEG_INF)
+        if rows >= 65536:
+            from rust_local_rag_tpu.ops.fast_topk import (
+                segmented_exact_topk_scores,
+            )
+
+            e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
+                masked_emb, k_local
+            )
+        else:
+            e_vals, e_idx = jax.lax.top_k(masked_emb, k_local)
+        e_idx = jnp.where(e_vals == NEG_INF, -1, e_idx.astype(jnp.int32))
+
+        # union with this shard's lexical hits (global normalization)
+        lex_pad = slots < 0
+        lv = jnp.where(lex_pad, 0.0, lvals.astype(jnp.float32))
+        max_lex = jnp.maximum(
+            jnp.max(lv, axis=1, keepdims=True), jnp.float32(1.1920929e-07)
+        )
+        lexn_sparse = lv / max_lex
+        local_slot = slots - base
+        on_shard = (~lex_pad) & (local_slot >= 0) & (local_slot < rows)
+
+        all_local = jnp.concatenate(
+            [e_idx, jnp.where(on_shard, local_slot, -1)], axis=1
+        )  # [Q, k_local+L] local indices
+        eq = all_local[:, :, None] == all_local[:, None, :]
+        first = jnp.argmax(eq, axis=2)
+        pos = jax.lax.broadcasted_iota(jnp.int32, all_local.shape, 1)
+        keep = (first == pos) & (all_local >= 0)
+
+        # phase 2: dequantize + f32 rescore of the LOCAL union rows
+        safe = jnp.maximum(all_local, 0)
+        rows_f = jnp.take(v_shard, safe.reshape(-1), axis=0).astype(
+            jnp.float32
+        )
+        row_scales = jnp.take(s_shard, safe.reshape(-1), axis=0)
+        rows_f = (rows_f * row_scales).reshape(qn, -1, d)
+        emb_f32 = jnp.einsum(
+            "qd,qcd->qc", q32, rows_f, preferred_element_type=jnp.float32
+        )
+
+        lexn = jnp.concatenate(
+            [jnp.zeros_like(e_vals), jnp.where(on_shard, lexn_sparse, 0.0)],
+            axis=1,
+        )
+        match_e = e_idx[:, :, None] == jnp.where(
+            on_shard, local_slot, -2
+        )[:, None, :]
+        e_lexn = jnp.sum(
+            jnp.where(match_e, lexn_sparse[:, None, :], 0.0), axis=2
+        )
+        lexn = lexn.at[:, : e_idx.shape[1]].set(e_lexn)
+
+        comb = jnp.where(
+            keep, w_embedding * emb_f32 + w_lexical * lexn, NEG_INF
+        )
+        s_vals, sel = jax.lax.top_k(comb, k_local)
+        s_emb = jnp.take_along_axis(emb_f32, sel, axis=1)
+        s_lexn = jnp.take_along_axis(lexn, sel, axis=1)
+        g_all = jnp.where(all_local >= 0, all_local + base, -1)
+        s_idx = jnp.take_along_axis(g_all, sel, axis=1)
+        s_idx = jnp.where(s_vals == NEG_INF, -1, s_idx)
+
+        av = jax.lax.all_gather(s_vals, corpus_axis)
+        ae = jax.lax.all_gather(s_emb, corpus_axis)
+        al = jax.lax.all_gather(s_lexn, corpus_axis)
+        ai = jax.lax.all_gather(s_idx, corpus_axis)
+        fv = jnp.transpose(av, (1, 0, 2)).reshape(qn, -1)
+        fe = jnp.transpose(ae, (1, 0, 2)).reshape(qn, -1)
+        fl = jnp.transpose(al, (1, 0, 2)).reshape(qn, -1)
+        fi = jnp.transpose(ai, (1, 0, 2)).reshape(qn, -1)
+        kk = min(k, fv.shape[1])
+        vals, sel2 = jax.lax.top_k(fv, kk)
+        emb_k = jnp.take_along_axis(fe, sel2, axis=1)
+        lex_k = jnp.take_along_axis(fl, sel2, axis=1)
+        idx = jnp.take_along_axis(fi, sel2, axis=1)
+        if kk < k:
+            pad = k - kk
+            vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            emb_k = jnp.pad(emb_k, ((0, 0), (0, pad)))
+            lex_k = jnp.pad(lex_k, ((0, 0), (0, pad)))
+            idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        idx = jnp.where(vals == NEG_INF, -1, idx)
+        return vals, emb_k, lex_k, idx.astype(jnp.int32)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(corpus_axis, None), P(corpus_axis, None),
+            P(corpus_axis), P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    vals, emb_k, lex_k, idx = fn(
+        queries, values, scales, valid_mask, lex_slots, lex_vals
+    )
+    if not with_sims:
+        return vals, emb_k, lex_k, idx
+    safe = jnp.maximum(idx, 0)
+    cand = jnp.take(values, safe.reshape(-1), axis=0).astype(jnp.float32)
+    cand_scales = jnp.take(scales, safe.reshape(-1), axis=0)
+    cand = (cand * cand_scales).reshape(qn, k, d)
+    sims = jnp.einsum(
+        "qkd,qjd->qkj", cand, cand, preferred_element_type=jnp.float32
+    )
+    return vals, emb_k, lex_k, idx, sims
+
+
 def shard_corpus(corpus, mesh: Mesh, corpus_axis: str = "corpus"):
     """Place a [N, D] host/global array row-sharded over the mesh."""
     sharding = NamedSharding(mesh, P(corpus_axis, None))

@@ -81,6 +81,95 @@ def test_sharded_batch_and_diversity(engines):
         assert [r.chunk_id for r in ra] == [r.chunk_id for r in rb]
 
 
+def _mk_engine(tmp, svc, env):
+    import os
+
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        return RagEngine(str(tmp), svc)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_sharded_quantized_small_corpus_exact(tmp_path):
+    """With the candidate bucket covering the whole corpus, the sharded
+    int8 engine's f32-rescored ranking must equal the unsharded int8
+    engine's exactly (identical candidate unions)."""
+    svc = EmbeddingService(HashEncoder(dim=D, model_name="q-shard"))
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((24, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    metas = [
+        ChunkMeta(id=f"c{i}", document_name="d.pdf",
+                  text=f"chunk {i} alpha", chunk_index=i)
+        for i in range(24)
+    ]
+
+    plain = _mk_engine(tmp_path / "p", svc, {"RAG_TPU_INT8_CORPUS": "1"})
+    plain.store.add_chunks(metas, emb)
+    sharded = _mk_engine(
+        tmp_path / "s", svc,
+        {"RAG_TPU_INT8_CORPUS": "1", "RAG_TPU_SHARD_CORPUS": "4"},
+    )
+    assert sharded._mesh is not None and sharded.store.quantized
+    sharded.store.add_chunks(metas, emb)
+
+    for q in ("chunk alpha", "chunk 5"):
+        a = plain.search(q, 8)
+        b = sharded.search(q, 8)
+        assert [r.chunk_id for r in a] == [r.chunk_id for r in b]
+        np.testing.assert_allclose(
+            [r.score for r in a], [r.score for r in b], rtol=1e-5
+        )
+
+
+def test_sharded_quantized_self_retrieval(tmp_path):
+    """At scale (candidate bucket < corpus) each stored vector must retrieve
+    itself as the top hit with score ~1 through the sharded int8 path."""
+    svc = EmbeddingService(HashEncoder(dim=D, model_name="q-shard2"))
+    rng = np.random.default_rng(4)
+    n = 2048
+    emb = rng.standard_normal((n, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    metas = [
+        ChunkMeta(id=f"c{i}", document_name="d.pdf",
+                  text=f"chunk {i}", chunk_index=i)
+        for i in range(n)
+    ]
+    eng = _mk_engine(
+        tmp_path / "s2", svc,
+        {"RAG_TPU_INT8_CORPUS": "1", "RAG_TPU_SHARD_CORPUS": "8"},
+    )
+    eng.store.add_chunks(metas, emb)
+
+    import jax.numpy as jnp
+    from rust_local_rag_tpu.parallel.sharded_search import (
+        sharded_hybrid_topk_quantized,
+    )
+
+    probe = emb[::500][:4]
+    vals, e, l, idx = sharded_hybrid_topk_quantized(
+        jnp.asarray(probe),
+        eng.store.corpus(),
+        eng.store.scales(),
+        eng.store.valid_mask(),
+        jnp.full((4, 512), -1, dtype=jnp.int32),
+        jnp.zeros((4, 512), dtype=jnp.float32),
+        jnp.float32(1.0),
+        jnp.float32(0.0),
+        32,
+        mesh=eng._mesh,
+    )
+    top = np.asarray(idx)[:, 0]
+    assert (top == np.arange(0, 2000, 500)).all(), top
+    assert np.allclose(np.asarray(e)[:, 0], 1.0, atol=2e-2)  # int8 noise
+
+
 def test_sharded_remove_document_stays_consistent(engines):
     _, sharded = engines
     before = sharded.search("synthetic alpha", 5)
