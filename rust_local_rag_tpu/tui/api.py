@@ -120,6 +120,59 @@ class ApiClient:
             error=d.get("error"),
         )
 
+    def watch_jobs(self, on_job, should_stop) -> None:
+        """Blocking: open the server's MCP SSE channel and invoke
+        on_job(JobStatus) for each pushed reindex progress notification
+        (server/sessions.py job push). Returns when the stream drops or
+        should_stop() turns true; the caller reconnects with backoff.
+        The TUI uses this for instant progress; 1 s polling remains the
+        fallback when the channel is down."""
+        import json as _json
+
+        r = self._session.post(
+            f"{self.base_url}/mcp",
+            json={
+                "jsonrpc": "2.0", "id": 1, "method": "initialize",
+                "params": {"protocolVersion": "2025-03-26"},
+            },
+            timeout=10,
+        )
+        sid = r.headers.get("Mcp-Session-Id")
+        if not sid:
+            return
+        with self._session.get(
+            f"{self.base_url}/mcp",
+            headers={"Accept": "text/event-stream", "Mcp-Session-Id": sid},
+            stream=True,
+            timeout=(5, 60),  # keep-alives arrive every 15 s
+        ) as resp:
+            if resp.status_code != 200:
+                return
+            for line in resp.iter_lines(decode_unicode=True):
+                if should_stop():
+                    return
+                if not line or not line.startswith("data: "):
+                    continue
+                try:
+                    msg = _json.loads(line[6:])
+                except ValueError:
+                    continue
+                params = msg.get("params") or {}
+                if (
+                    msg.get("method") == "notifications/message"
+                    and params.get("logger") == "jobs"
+                ):
+                    d = params.get("data") or {}
+                    on_job(
+                        JobStatus(
+                            job_id=d.get("job_id", ""),
+                            status=d.get("status", "unknown"),
+                            progress=int(d.get("progress") or 0),
+                            total=int(d.get("total") or 0),
+                            error=d.get("error"),
+                        )
+                    )
+
     def active_job(self) -> Optional[JobStatus]:
         r = self._session.get(f"{self.base_url}/jobs/active", timeout=5)
         r.raise_for_status()

@@ -43,6 +43,24 @@ class Controller:
         self._last_health = 0.0
         self._last_job = 0.0
         self._job_id: Optional[str] = None
+        self._stop = threading.Event()
+        # server-push job progress over the MCP SSE channel; the 1 s
+        # polling in tick() stays as the fallback when the channel is down
+        threading.Thread(target=self._watch_jobs, daemon=True).start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _watch_jobs(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self.api.watch_jobs(
+                    lambda job: self.msgs.put(Msg("job_update", job)),
+                    self._stop.is_set,
+                )
+            except Exception:  # noqa: BLE001
+                pass
+            self._stop.wait(2.0)  # reconnect backoff
 
     # ----- background work -----
 
@@ -223,21 +241,24 @@ def run(stdscr, base_url: str, env_path: str) -> None:
     settings = Settings.load(env_path)
     ctl = Controller(api, state, settings)
 
-    while not state.quit:
-        ctl.tick()
-        try:
-            while True:
-                state.update(ctl.msgs.get_nowait())
-        except queue.Empty:
-            pass
+    try:
+        while not state.quit:
+            ctl.tick()
+            try:
+                while True:
+                    state.update(ctl.msgs.get_nowait())
+            except queue.Empty:
+                pass
 
-        ui.draw(stdscr, state, settings, get_theme(state.theme_name))
+            ui.draw(stdscr, state, settings, get_theme(state.theme_name))
 
-        ch = stdscr.getch()
-        if ch != -1:
-            _handle_key(ch, state, ctl)
-        else:
-            time.sleep(0.03)
+            ch = stdscr.getch()
+            if ch != -1:
+                _handle_key(ch, state, ctl)
+            else:
+                time.sleep(0.03)
+    finally:
+        ctl.stop()
 
 
 def main() -> int:

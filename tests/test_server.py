@@ -602,3 +602,33 @@ def test_session_eviction_over_http(tmp_path, monkeypatch):
         assert r.status_code == 404
     finally:
         srv.stop()
+
+
+def test_tui_watch_jobs_receives_push(server):
+    """The TUI's SSE job watcher receives pushed progress for a reindex
+    started over plain HTTP (no polling involved)."""
+    from rust_local_rag_tpu.tui.api import ApiClient
+
+    api = ApiClient(server.base)
+    got = []
+    done = threading.Event()
+
+    def on_job(job):
+        got.append(job)
+        done.set()
+
+    t = threading.Thread(
+        target=lambda: api.watch_jobs(on_job, done.is_set), daemon=True
+    )
+    t.start()
+    time.sleep(0.5)  # let the channel open
+    requests.post(f"{server.base}/reindex", timeout=10)
+    assert done.wait(15), "no pushed job notification reached the TUI client"
+    assert got[0].job_id and got[0].status in (
+        "pending", "inprogress", "completed"
+    )
+    # drain the job so later tests see a quiet server
+    for _ in range(100):
+        if requests.get(f"{server.base}/jobs/active").json() is None:
+            break
+        time.sleep(0.2)
