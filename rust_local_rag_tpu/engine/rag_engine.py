@@ -818,7 +818,18 @@ class RagEngine:
             return []
         q_emb = _normalize_vec(self.embedding_service.get_query_embedding(query))
         k = min(count, len(self.store))
-        fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
+        if self._mesh is not None:
+            from rust_local_rag_tpu.parallel import sharded_search as _ss
+
+            fn = (
+                _ss.sharded_hybrid_topk_quantized
+                if self.store.quantized
+                else _ss.sharded_hybrid_topk
+            )
+            kwargs = {"mesh": self._mesh}
+        else:
+            fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
+            kwargs = {}
         extra = (self.store.scales(),) if self.store.quantized else ()
         vals, emb_k, _, idx = fn(
             jnp.asarray(q_emb[None, :]),
@@ -830,6 +841,7 @@ class RagEngine:
             jnp.float32(1.0),
             jnp.float32(0.0),
             _bucket_k(k),
+            **kwargs,
         )
         out = []
         for v, slot in zip(np.asarray(vals)[0][:k], np.asarray(idx)[0][:k]):

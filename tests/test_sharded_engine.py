@@ -170,6 +170,13 @@ def test_sharded_quantized_self_retrieval(tmp_path):
     assert np.allclose(np.asarray(e)[:, 0], 1.0, atol=2e-2)  # int8 noise
 
 
+def test_sharded_embedding_candidates_match(engines):
+    plain, sharded = engines
+    a = plain.get_embedding_candidates("synthetic alpha beta", 6)
+    b = sharded.get_embedding_candidates("synthetic alpha beta", 6)
+    assert [c.chunk_id for c in a] == [c.chunk_id for c in b]
+
+
 def test_sharded_remove_document_stays_consistent(engines):
     _, sharded = engines
     before = sharded.search("synthetic alpha", 5)
