@@ -6,9 +6,13 @@
 //
 // Semantics match ops/bm25.py: tokens are lowercased alphanumeric runs with
 // UTF-8 byte length >= 3; BM25 k1=1.5 b=0.75; idf = max(ln((N-df+.5)/(df+.5)), 0).
-// Unicode note: non-ASCII bytes are treated as letter bytes (no Unicode
-// tables in the native path); ASCII casing only. Identical to the Python
-// tokenizer on ASCII text.
+//
+// Tokenization lives on the PYTHON side (ops/bm25.tokenize — Unicode-aware
+// splitting and lowercasing, bit-identical to the pure-Python index); the
+// wrapper ships pre-tokenized text through bm25_add_tokens /
+// bm25_score_tokens ('\x01'-joined UTF-8 tokens, no further filtering).
+// The byte-level bm25_add_chunk / bm25_score entry points remain for ABI
+// compat but apply ASCII-only rules (non-ASCII bytes treated as letters).
 
 #include <algorithm>
 #include <cstdint>
@@ -47,43 +51,26 @@ void tokenize(const char* text, size_t len, std::vector<std::string>& out) {
     if (cur.size() >= 3) out.push_back(cur);
 }
 
-void remove_slot(Index* idx, int64_t slot) {
-    auto it = idx->doc_terms.find(slot);
-    if (it != idx->doc_terms.end()) {
-        for (const auto& term : it->second) {
-            auto pit = idx->postings.find(term);
-            if (pit != idx->postings.end()) {
-                pit->second.erase(slot);
-                if (pit->second.empty()) idx->postings.erase(pit);
-            }
+// Pre-tokenized input: tokens joined by '\x01'. No filtering — the caller
+// (Python wrapper) already applied the Unicode-aware tokenization rules.
+void split_pretokenized(const char* text, size_t len,
+                        std::vector<std::string>& out) {
+    std::string cur;
+    for (size_t i = 0; i < len; i++) {
+        char c = text[i];
+        if (c == '\x01') {
+            if (!cur.empty()) { out.push_back(cur); cur.clear(); }
+        } else {
+            cur.push_back(c);
         }
-        idx->doc_terms.erase(it);
-        auto lit = idx->doc_lengths.find(slot);
-        if (lit != idx->doc_lengths.end()) {
-            idx->total_length = std::max<int64_t>(0, idx->total_length - lit->second);
-            idx->doc_lengths.erase(lit);
-        }
-        if (idx->total_docs > 0) idx->total_docs--;
-    } else {
-        idx->doc_lengths.erase(slot);
     }
-    if (idx->total_docs == 0) idx->total_length = 0;
+    if (!cur.empty()) out.push_back(cur);
 }
 
-}  // namespace
+void remove_slot(Index* idx, int64_t slot);
 
-extern "C" {
-
-void* bm25_create() { return new Index(); }
-
-void bm25_destroy(void* h) { delete (Index*)h; }
-
-void bm25_add_chunk(void* h, int64_t slot, const char* text, int64_t len) {
-    Index* idx = (Index*)h;
+void add_tokens(Index* idx, int64_t slot, std::vector<std::string>& tokens) {
     if (idx->doc_terms.count(slot)) remove_slot(idx, slot);
-
-    std::vector<std::string> tokens;
-    tokenize(text, (size_t)len, tokens);
     if (tokens.empty()) return;
 
     std::unordered_map<std::string, int32_t> counts;
@@ -103,24 +90,9 @@ void bm25_add_chunk(void* h, int64_t slot, const char* text, int64_t len) {
     idx->total_length += doc_length;
 }
 
-void bm25_remove_chunk(void* h, int64_t slot) { remove_slot((Index*)h, slot); }
-
-int32_t bm25_contains(void* h, int64_t slot) {
-    return ((Index*)h)->doc_terms.count(slot) ? 1 : 0;
-}
-
-int64_t bm25_num_docs(void* h) { return ((Index*)h)->total_docs; }
-
-// Scores the query; writes up to `limit` (slot, score) pairs sorted by
-// descending score. Returns the number written.
-int64_t bm25_score(void* h, const char* query, int64_t qlen, int64_t limit,
-                   int64_t* out_slots, float* out_scores) {
-    Index* idx = (Index*)h;
-    if (idx->total_docs == 0 || limit <= 0) return 0;
-
-    std::vector<std::string> tokens;
-    tokenize(query, (size_t)qlen, tokens);
-    if (tokens.empty()) return 0;
+int64_t score_tokens(Index* idx, std::vector<std::string>& tokens,
+                     int64_t limit, int64_t* out_slots, float* out_scores) {
+    if (idx->total_docs == 0 || limit <= 0 || tokens.empty()) return 0;
     std::sort(tokens.begin(), tokens.end());
     tokens.erase(std::unique(tokens.begin(), tokens.end()), tokens.end());
 
@@ -154,6 +126,76 @@ int64_t bm25_score(void* h, const char* query, int64_t qlen, int64_t limit,
         out_scores[i] = (float)rows[i].second;
     }
     return n;
+}
+
+void remove_slot(Index* idx, int64_t slot) {
+    auto it = idx->doc_terms.find(slot);
+    if (it != idx->doc_terms.end()) {
+        for (const auto& term : it->second) {
+            auto pit = idx->postings.find(term);
+            if (pit != idx->postings.end()) {
+                pit->second.erase(slot);
+                if (pit->second.empty()) idx->postings.erase(pit);
+            }
+        }
+        idx->doc_terms.erase(it);
+        auto lit = idx->doc_lengths.find(slot);
+        if (lit != idx->doc_lengths.end()) {
+            idx->total_length = std::max<int64_t>(0, idx->total_length - lit->second);
+            idx->doc_lengths.erase(lit);
+        }
+        if (idx->total_docs > 0) idx->total_docs--;
+    } else {
+        idx->doc_lengths.erase(slot);
+    }
+    if (idx->total_docs == 0) idx->total_length = 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* bm25_create() { return new Index(); }
+
+void bm25_destroy(void* h) { delete (Index*)h; }
+
+void bm25_add_chunk(void* h, int64_t slot, const char* text, int64_t len) {
+    std::vector<std::string> tokens;
+    tokenize(text, (size_t)len, tokens);
+    add_tokens((Index*)h, slot, tokens);
+}
+
+// Unicode-correct ingestion path: `toks` is '\x01'-joined pre-tokenized text.
+void bm25_add_tokens(void* h, int64_t slot, const char* toks, int64_t len) {
+    std::vector<std::string> tokens;
+    split_pretokenized(toks, (size_t)len, tokens);
+    add_tokens((Index*)h, slot, tokens);
+}
+
+void bm25_remove_chunk(void* h, int64_t slot) { remove_slot((Index*)h, slot); }
+
+int32_t bm25_contains(void* h, int64_t slot) {
+    return ((Index*)h)->doc_terms.count(slot) ? 1 : 0;
+}
+
+int64_t bm25_num_docs(void* h) { return ((Index*)h)->total_docs; }
+
+// Scores the query; writes up to `limit` (slot, score) pairs sorted by
+// descending score. Returns the number written.
+int64_t bm25_score(void* h, const char* query, int64_t qlen, int64_t limit,
+                   int64_t* out_slots, float* out_scores) {
+    std::vector<std::string> tokens;
+    tokenize(query, (size_t)qlen, tokens);
+    return score_tokens((Index*)h, tokens, limit, out_slots, out_scores);
+}
+
+// Unicode-correct scoring path: `toks` is '\x01'-joined pre-tokenized text.
+int64_t bm25_score_tokens(void* h, const char* toks, int64_t qlen,
+                          int64_t limit, int64_t* out_slots,
+                          float* out_scores) {
+    std::vector<std::string> tokens;
+    split_pretokenized(toks, (size_t)qlen, tokens);
+    return score_tokens((Index*)h, tokens, limit, out_slots, out_scores);
 }
 
 // Bulk-drop any slot NOT present in `valid` (sorted ascending, nv entries).

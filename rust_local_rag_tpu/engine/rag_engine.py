@@ -41,6 +41,7 @@ from rust_local_rag_tpu.ops.hybrid import (
     LEX_WIDTH,
     hybrid_topk,
     hybrid_topk_quantized,
+    lex_width_for,
     pack_sparse_lex,
 )
 from rust_local_rag_tpu.ops.mmr import (
@@ -393,11 +394,15 @@ class RagEngine:
         # Lexical candidates per query: top (top_k * 5) like the reference
         # (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the
         # device blends them scatter-free (ops/hybrid.py) so chunks outside
-        # the lexical top list contribute 0 to the blend.
-        lex_slots = np.full((nq_pad, LEX_WIDTH), -1, dtype=np.int32)
-        lex_vals = np.zeros((nq_pad, LEX_WIDTH), dtype=np.float32)
+        # the lexical top list contribute 0 to the blend. The width is
+        # bucketed so the diversity path's pool*5 request (up to 1500) is
+        # carried in full instead of silently truncated at LEX_WIDTH.
+        lex_request = top_k * 5
+        lex_width = lex_width_for(lex_request)
+        lex_slots = np.full((nq_pad, lex_width), -1, dtype=np.int32)
+        lex_vals = np.zeros((nq_pad, lex_width), dtype=np.float32)
         for qi, query in enumerate(queries):
-            pairs = self.lexical_index.score(query, top_k * 5)
+            pairs = self.lexical_index.score(query, min(lex_request, lex_width))
             s, v = pack_sparse_lex(
                 pairs,
                 lambda cid: (
@@ -405,7 +410,7 @@ class RagEngine:
                     if self.store.contains(cid)
                     else None
                 ),
-                width=LEX_WIDTH,
+                width=lex_width,
             )
             lex_slots[qi] = s[0]
             lex_vals[qi] = v[0]
@@ -892,7 +897,10 @@ class RagEngine:
         return self.store.document_names()
 
     def get_stats(self) -> dict:
-        """rag_engine.rs:862-881"""
+        """rag_engine.rs:862-881 (+ search_mode: surfaces that the int8
+        capacity mode's phase-1 candidate selection is approximate at the
+        int8 precision boundary — ops/hybrid.hybrid_topk_quantized — unlike
+        the default exact search)."""
         return {
             "documents": len(self.list_documents()),
             "chunks": len(self.store),
@@ -900,6 +908,11 @@ class RagEngine:
             "embedding_model": self.embedding_model(),
             "reranker_model": (
                 self.reranker.model_name if self.reranker else None
+            ),
+            "search_mode": (
+                "approximate-int8-selection"
+                if self.store.quantized
+                else "exact"
             ),
         }
 

@@ -197,7 +197,17 @@ class WorkerSupervisor:
                 with open(path, "rb") as f:
                     data = f.read()
             except OSError as e:
+                # unreadable file = a failed document, not a silent skip:
+                # record it and advance progress so the job can still reach
+                # total and the completion summary reflects the failure
                 logger.error("Failed to read %s: %s", filename, e)
+                failed_documents.append(f"{filename}: {e}")
+                state.failed_docs += 1
+                state.done_docs = idx + 1
+                state.last_doc = filename
+                self.job_manager.update_progress(job_id, idx + 1)
+                if progress_logger:
+                    progress_logger.emit(state, "progress", "failed")
                 continue
 
             logger.info(

@@ -206,14 +206,24 @@ class TransformerReranker:
         else:
             self.params = init_reranker_params(jax.random.PRNGKey(seed), self.cfg)
             logger.info("Reranker running with seeded random init")
-        # token ids for the yes/no decision (first content token of each word)
-        self._yes_id = self._word_id("yes")
-        self._no_id = self._word_id("no")
+        # token ids for the yes/no decision: the first ids at which the two
+        # words' tokenizations diverge. Robust to special tokens ([CLS]/
+        # [SEP] wrappers are a shared prefix/suffix) AND to multi-piece
+        # tokenizations ("yes" -> 2 wordpieces no longer silently scores
+        # the wrong token — the first DIFFERING piece decides).
+        self._yes_id, self._no_id = self._decision_ids("yes", "no")
 
-    def _word_id(self, word: str) -> int:
-        toks = self.tokenizer.tokenize(word)
-        # hash tokenizer: [CLS, word, SEP]; HF: take first content id
-        return int(toks[1] if len(toks) > 2 else toks[0])
+    def _decision_ids(self, a: str, b: str) -> tuple:
+        ta = [int(t) for t in self.tokenizer.tokenize(a)]
+        tb = [int(t) for t in self.tokenizer.tokenize(b)]
+        for xa, xb in zip(ta, tb):
+            if xa != xb:
+                return xa, xb
+        # one tokenization is a prefix of the other (cannot happen for
+        # "yes"/"no" under any sane tokenizer, but fail loudly not wrongly)
+        raise ValueError(
+            f"tokenizer cannot distinguish {a!r} from {b!r}: {ta} vs {tb}"
+        )
 
     @property
     def model_name(self) -> str:

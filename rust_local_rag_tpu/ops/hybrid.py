@@ -33,8 +33,24 @@ import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-jnp.inf)
 
-# fixed sparse width for lexical hits: top_k*5 <= 500 (MAX_TOP_K = 100)
+# default sparse width for lexical hits: top_k*5 <= 500 (MAX_TOP_K = 100)
 LEX_WIDTH = 512
+
+# The MMR diversity path requests pool*5 lexical hits (pool <= 300 at
+# MAX_TOP_K => 1500), which exceeds LEX_WIDTH; a wider bucket keeps parity
+# with the reference's full pool*5 lexical list (rag_engine.rs:505) while
+# bounding the number of compiled shapes to two.
+LEX_WIDTH_BUCKETS = (LEX_WIDTH, 2048)
+
+
+def lex_width_for(request: int) -> int:
+    """Smallest lexical-width bucket covering `request` hits (capped at the
+    largest bucket; requests beyond it are truncated, which only matters
+    for direct engine callers exceeding MAX_TOP_K * 5 by >4x)."""
+    for b in LEX_WIDTH_BUCKETS:
+        if request <= b:
+            return b
+    return LEX_WIDTH_BUCKETS[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "with_sims"))

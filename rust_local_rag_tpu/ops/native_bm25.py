@@ -16,6 +16,8 @@ from typing import Dict, Iterable, List, Optional, Set, Tuple
 
 import numpy as np
 
+from rust_local_rag_tpu.ops.bm25 import tokenize as _tokenize
+
 _LIB_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
@@ -50,6 +52,24 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bm25_drop_stale.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
     ]
+    try:
+        lib.bm25_add_tokens.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.bm25_score_tokens.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.bm25_score_tokens.restype = ctypes.c_int64
+    except AttributeError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "native BM25 library at %s predates the pre-tokenized API; "
+            "run `make native` to rebuild (using the Python index)",
+            _LIB_PATH,
+        )
+        return None
     _lib = lib
     return lib
 
@@ -107,8 +127,11 @@ class NativeLexicalIndex:
         return slot
 
     def add_chunk(self, chunk_id: str, text: str) -> None:
-        data = text.encode("utf-8")
-        self._lib.bm25_add_chunk(
+        # Tokenize host-side with the Unicode-aware rules (ops/bm25.tokenize,
+        # bit-identical to the Python index and the Rust reference); the C++
+        # core only counts/stores the pre-split tokens.
+        data = "\x01".join(_tokenize(text)).encode("utf-8")
+        self._lib.bm25_add_tokens(
             self._h, self._slot_for(chunk_id), data, len(data)
         )
         # chunks whose text tokenizes to nothing are not indexed natively;
@@ -132,10 +155,10 @@ class NativeLexicalIndex:
             limit = self.total_docs
         if limit <= 0:
             return []
-        data = query.encode("utf-8")
+        data = "\x01".join(_tokenize(query)).encode("utf-8")
         out_slots = np.zeros(limit, dtype=np.int64)
         out_scores = np.zeros(limit, dtype=np.float32)
-        n = self._lib.bm25_score(
+        n = self._lib.bm25_score_tokens(
             self._h,
             data,
             len(data),

@@ -222,6 +222,17 @@ def build_app(ctx: AppContext) -> web.Application:
                 },
                 status=400,
             )
+        if not isinstance(payload, dict):
+            # JSON-RPC batch arrays and other non-object payloads are not
+            # supported; reply Invalid Request instead of crashing to 500
+            return web.json_response(
+                {
+                    "jsonrpc": "2.0",
+                    "id": None,
+                    "error": {"code": -32600, "message": "Invalid Request"},
+                },
+                status=400,
+            )
         # streamable-HTTP session management (rmcp StreamableHttpService
         # equivalent, mcp_server.rs:546-563): a session is created on
         # `initialize`; later requests echo the id. A presented-but-unknown

@@ -272,6 +272,27 @@ def test_worker_poison_pill_continues(tmp_path):
         sup.stop(timeout=2)
 
 
+def test_worker_unreadable_file_counts_as_failure(tmp_path):
+    """A file whose read() fails is a failed document, and progress still
+    reaches total (ADVICE r1: it used to be silently skipped with progress
+    stuck below total)."""
+    docs = {"good.pdf": "A perfectly fine document with several words."}
+    engine, lock, jm, sup, docs_dir = _make_runtime(tmp_path, docs)
+    # a dangling symlink: listed by discovery, open() raises OSError
+    # (works even as root, where chmod-0 files stay readable)
+    os.symlink(str(docs_dir / "nonexistent-target"), str(docs_dir / "locked.pdf"))
+    sup.start()
+    try:
+        job = jm.create_reindex_job_if_not_active(str(docs_dir), 0)
+        sup.submit(JobRequest(job.job_id, str(docs_dir)))
+        done = _wait_for(jm, job.job_id)
+        assert done.status == JobStatus.COMPLETED
+        assert done.progress == done.total == 2
+        assert done.error is not None and "locked.pdf" in done.error
+    finally:
+        sup.stop(timeout=2)
+
+
 def test_worker_resumes_pending_jobs(tmp_path):
     docs = {"doc.pdf": "Resume test document with some sentences inside."}
     engine, lock, jm, sup, docs_dir = _make_runtime(tmp_path, docs)

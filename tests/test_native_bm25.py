@@ -108,3 +108,35 @@ def test_large_corpus_speed_sanity():
     score_s = time.monotonic() - t0
     assert add_s < 10.0
     assert score_s < 5.0
+
+
+def test_score_parity_on_unicode_corpus():
+    """Tokenization is done host-side with Unicode rules and shipped
+    pre-split to C++ (ADVICE r1: the old byte-level native tokenizer
+    diverged from the Python/Rust semantics on non-ASCII text)."""
+    docs = {
+        "u0": "Müller straße café résumé",        # lowercase umlauts kept
+        "u1": "MÜLLER shouting CAFÉ text",        # Unicode lowercasing
+        "u2": "日本語のテキストです 形態素",          # CJK runs
+        "u3": "mixed ascii and café terms",
+        "u4": "ña ñañ añaño words",               # ñ sequences, length rules
+    }
+    py, nat = _both()
+    for cid, text in docs.items():
+        py.add_chunk(cid, text)
+        nat.add_chunk(cid, text)
+    for q in ["müller", "CAFÉ résumé", "日本語のテキストです", "añaño", "café"]:
+        ps = dict(py.score(q, 10))
+        ns = dict(nat.score(q, 10))
+        assert set(ps) == set(ns), (q, ps, ns)
+        for cid in ps:
+            assert abs(ps[cid] - ns[cid]) < 1e-5, (q, cid, ps[cid], ns[cid])
+
+
+def test_unicode_casefold_contains_parity():
+    py, nat = _both()
+    py.add_chunk("x", "ΣΊΣΥΦΟΣ greek UPPER")
+    nat.add_chunk("x", "ΣΊΣΥΦΟΣ greek UPPER")
+    ps = dict(py.score("σίσυφος", 5))
+    ns = dict(nat.score("σίσυφος", 5))
+    assert set(ps) == set(ns)

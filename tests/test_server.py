@@ -320,6 +320,15 @@ def test_mcp_unknown_method(server):
     assert out["error"]["code"] == -32601
 
 
+def test_mcp_non_object_payload_invalid_request(server):
+    """A JSON-RPC batch array (or any non-object JSON) gets -32600, not a
+    500 (ADVICE r1)."""
+    for payload in ([{"jsonrpc": "2.0", "id": 1, "method": "ping"}], "x", 7):
+        r = requests.post(f"{server.base}/mcp", json=payload, timeout=10)
+        assert r.status_code == 400
+        assert r.json()["error"]["code"] == -32600
+
+
 def test_mcp_notification_accepted(server):
     r = requests.post(
         f"{server.base}/mcp",
