@@ -27,20 +27,36 @@ def flatten_params(params: Dict) -> Dict[str, np.ndarray]:
     return flat
 
 
-def save_params(params: Dict, path: str) -> None:
-    """Write a params pytree to a safetensors file (atomic via temp+rename)."""
+def save_params(
+    params: Dict,
+    path: str,
+    metadata: Dict[str, str] | None = None,
+    half: bool = False,
+) -> None:
+    """Write a params pytree to a safetensors file (atomic via temp+rename).
+
+    `metadata` rides in the safetensors header (training/ stores the
+    architecture config there; models/encoder.load_encoder_checkpoint reads
+    it back). `half=True` stores float tensors as f16 — committed assets
+    ship half-precision to halve repo size; loaders widen to f32.
+    """
     import os
     import tempfile
 
     from safetensors.numpy import save_file
 
     flat = flatten_params(params)
+    if half:
+        flat = {
+            k: (v.astype(np.float16) if v.dtype == np.float32 else v)
+            for k, v in flat.items()
+        }
     d = os.path.dirname(os.path.abspath(path))
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".safetensors.tmp")
     os.close(fd)
     try:
-        save_file(flat, tmp)
+        save_file(flat, tmp, metadata=metadata)
         os.replace(tmp, path)
     except BaseException:
         try:

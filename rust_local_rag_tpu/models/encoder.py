@@ -45,10 +45,27 @@ class EncoderConfig:
     max_len: int = 512
     rope_base: float = 10000.0
     activation_dtype: str = "bfloat16"
+    # Output embedding width. The retrieval contract is 768-d
+    # (nomic-embed-text class); when out_dim != dim a learned projection
+    # maps the pooled representation up/down, letting the transformer trunk
+    # be narrower (faster ingest) than the index dimension.
+    out_dim: int = 768
 
     @property
     def head_dim(self) -> int:
         return self.dim // self.heads
+
+    def to_json(self) -> str:
+        import dataclasses
+        import json
+
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EncoderConfig":
+        import json
+
+        return cls(**json.loads(s))
 
 
 def init_encoder_params(rng: jax.Array, cfg: EncoderConfig) -> Dict:
@@ -64,6 +81,8 @@ def init_encoder_params(rng: jax.Array, cfg: EncoderConfig) -> Dict:
         "final_norm": jnp.ones((cfg.dim,), dtype=jnp.float32),
         "layers": [],
     }
+    if cfg.out_dim != cfg.dim:
+        params["out_proj"] = dense(keys[-1], (cfg.dim, cfg.out_dim))
     for li in range(cfg.depth):
         k = jax.random.split(keys[li + 1], 7)
         params["layers"].append(
@@ -152,6 +171,14 @@ def encoder_forward(
     m = mask.astype(jnp.float32)[:, :, None]
     pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
 
+    if cfg.out_dim != cfg.dim:
+        pooled = jnp.einsum(
+            "bd,de->be",
+            pooled,
+            params["out_proj"].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
     # L2 normalize (reference normalizes all embeddings: rag_engine.rs:359)
     norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
     return pooled / jnp.maximum(norm, 1e-10)
@@ -160,6 +187,21 @@ def encoder_forward(
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _jit_forward(params, ids, mask, cfg):
     return encoder_forward(params, ids, mask, cfg)
+
+
+def default_asset(name: str) -> Optional[str]:
+    """Path of a committed model asset (assets/<name>) if present. Trained
+    checkpoints live there so the serving stack gets real model quality by
+    default — the analog of the reference's `ollama pull` artifacts.
+    RAG_TPU_NO_DEFAULT_ASSETS=1 disables (tests, from-scratch training)."""
+    if os.environ.get("RAG_TPU_NO_DEFAULT_ASSETS"):
+        return None
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        name,
+    )
+    return path if os.path.exists(path) else None
 
 
 class TransformerEncoderModel:
@@ -173,26 +215,38 @@ class TransformerEncoderModel:
         weights_path: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
     ):
-        self.cfg = cfg or EncoderConfig()
-        self._model_name = model_name
-        self.tokenizer = load_tokenizer(
-            tokenizer_path, vocab_size=self.cfg.vocab_size, max_len=self.cfg.max_len
+        weights_path = (
+            weights_path
+            or os.environ.get("ENCODER_WEIGHTS")
+            or default_asset("encoder.safetensors")
         )
-        weights_path = weights_path or os.environ.get("ENCODER_WEIGHTS")
+        tokenizer_path = (
+            tokenizer_path
+            or os.environ.get("TOKENIZER_PATH")
+            or default_asset("tokenizer.json")
+        )
+        self._model_name = model_name
         if weights_path and os.path.exists(weights_path):
-            self.params = load_safetensors_params(weights_path)
+            self.params, meta_cfg = load_encoder_checkpoint(weights_path)
+            # an explicit cfg arg wins; otherwise the checkpoint's embedded
+            # config (falling back to defaults for config-less files)
+            self.cfg = cfg or meta_cfg or EncoderConfig()
             logger.info("Loaded encoder weights from %s", weights_path)
         else:
+            self.cfg = cfg or EncoderConfig()
             self.params = init_encoder_params(
                 jax.random.PRNGKey(seed), self.cfg
             )
             logger.info(
                 "Encoder running with seeded random init (no weights file)"
             )
+        self.tokenizer = load_tokenizer(
+            tokenizer_path, vocab_size=self.cfg.vocab_size, max_len=self.cfg.max_len
+        )
 
     @property
     def dim(self) -> int:
-        return self.cfg.dim
+        return self.cfg.out_dim
 
     @property
     def model_name(self) -> str:
@@ -224,13 +278,16 @@ class TransformerEncoderModel:
 def load_safetensors_params(path: str) -> Dict:
     """Load a params pytree from a safetensors file with this module's
     naming: embed, final_norm, layers.N.{attn_norm,wq,wk,wv,wo,ffn_norm,
-    w_gate,w_up,w_down}."""
+    w_gate,w_up,w_down}. Half-precision storage (committed checkpoints ship
+    f16 to halve repo size) is widened back to f32 compute params."""
     from safetensors.numpy import load_file
 
     flat = load_file(path)
     layers: Dict[int, Dict[str, jax.Array]] = {}
     params: Dict = {"layers": []}
     for key, val in flat.items():
+        if val.dtype == np.float16:
+            val = val.astype(np.float32)
         arr = jnp.asarray(val)
         if key.startswith("layers."):
             _, idx, name = key.split(".", 2)
@@ -240,3 +297,16 @@ def load_safetensors_params(path: str) -> Dict:
     for i in sorted(layers):
         params["layers"].append(layers[i])
     return params
+
+
+def load_encoder_checkpoint(path: str):
+    """-> (params, EncoderConfig | None): params plus the architecture
+    config embedded in the safetensors metadata by training/ (None for
+    config-less weight files)."""
+    from safetensors import safe_open
+
+    params = load_safetensors_params(path)
+    with safe_open(path, framework="np") as f:
+        meta = f.metadata() or {}
+    cfg_json = meta.get("encoder_config")
+    return params, (EncoderConfig.from_json(cfg_json) if cfg_json else None)

@@ -22,6 +22,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rust_local_rag_tpu.models.encoder import EncoderConfig, encoder_forward
@@ -40,11 +41,14 @@ def param_partition_specs(cfg: EncoderConfig) -> Dict:
         "w_up": P(None, "model"),
         "w_down": P("model", None),
     }
-    return {
+    specs = {
         "embed": P("model", None),
         "final_norm": P(),
         "layers": [dict(layer) for _ in range(cfg.depth)],
     }
+    if cfg.out_dim != cfg.dim:
+        specs["out_proj"] = P(None, "model")
+    return specs
 
 
 def shard_params(params: Dict, mesh: Mesh, cfg: EncoderConfig) -> Dict:
@@ -115,6 +119,58 @@ def make_train_step(mesh: Mesh, cfg: EncoderConfig, lr: float = 1e-4):
         ),
         out_shardings=(param_shardings, replicated),
         donate_argnums=(0,),
+    )
+
+
+def make_optax_scan_step(
+    mesh: Mesh,
+    cfg: EncoderConfig,
+    tx,
+    temperature: float = 0.05,
+):
+    """AdamW-class training with several optimizer steps per device
+    dispatch: inputs are [S, B, L] stacks and a lax.scan chains S InfoNCE
+    steps on device (remote-attached TPUs pay ~50 ms per dispatch; scanning
+    amortizes it). Sharding is GSPMD like make_train_step: batch along
+    "data", params along "model" per param_partition_specs.
+
+    Returns step(params, opt_state, q_ids, q_mask, p_ids, p_mask)
+    -> (params, opt_state, mean_loss).
+    """
+    data_spec = NamedSharding(mesh, P(None, "data", None))
+    replicated = NamedSharding(mesh, P())
+    param_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_partition_specs(cfg)
+    )
+
+    def one_step(carry, batch):
+        params, opt_state = carry
+        q_ids, q_mask, p_ids, p_mask = batch
+        loss, grads = jax.value_and_grad(info_nce_loss)(
+            params, q_ids, q_mask, p_ids, p_mask, cfg, temperature
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def step(params, opt_state, q_ids, q_mask, p_ids, p_mask):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), (q_ids, q_mask, p_ids, p_mask)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    return jax.jit(
+        step,
+        in_shardings=(
+            param_shardings,
+            None,
+            data_spec,
+            data_spec,
+            data_spec,
+            data_spec,
+        ),
+        out_shardings=(param_shardings, None, replicated),
+        donate_argnums=(0, 1),
     )
 
 

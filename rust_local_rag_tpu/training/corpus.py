@@ -1,0 +1,181 @@
+"""Training-corpus harvesting from locally installed documentation.
+
+Zero-egress environments cannot download pretraining data; what they DO
+have is tens of MB of high-quality technical English sitting in the
+docstrings and doc files of installed Python packages (numpy/scipy prose
+is professionally edited). This module harvests, cleans, and dedups that
+text into a paragraph list used to train the tokenizer and the contrastive
+embedding encoder.
+
+Honesty guard: `harvest(exclude_hashes=...)` lets callers hold the quality
+eval's corpus passages out of training (eval_harness/corpus.py passes its
+passage hashes), so retrieval-quality numbers are not memorization.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import hashlib
+import os
+import re
+from typing import Iterable, List, Optional, Sequence, Set
+
+# Packages mined for docstring prose (alphabetical; only those installed
+# are used). Chosen for volume and prose quality.
+DEFAULT_PACKAGES = (
+    "aiohttp",
+    "chex",
+    "flax",
+    "jax",
+    "matplotlib",
+    "numpy",
+    "optax",
+    "orbax",
+    "pandas",
+    "scipy",
+    "sklearn",
+    "statsmodels",
+    "torch",
+    "transformers",
+)
+
+_MIN_WORDS = 12
+_MAX_WORDS = 220
+_MIN_ALPHA_RATIO = 0.72
+
+# rst/markdown noise commonly embedded in docstrings
+_RST_ROLE = re.compile(r":[a-z]+:`([^`]*)`")
+_BACKTICKS = re.compile(r"``?([^`]*)``?")
+_UNDERLINE = re.compile(r"^[-=~^\"'#*]{3,}$")
+_DIRECTIVE = re.compile(r"^\.\. [a-z]+::.*$")
+
+
+def _clean_line(line: str) -> str:
+    line = _RST_ROLE.sub(r"\1", line)
+    line = _BACKTICKS.sub(r"\1", line)
+    return line.strip()
+
+
+def paragraphs_from_text(text: str) -> List[str]:
+    """Blank-line-separated paragraphs, cleaned of rst markup, with code
+    blocks (doctest '>>>' lines, deeply indented blocks) dropped."""
+    paras: List[str] = []
+    cur: List[str] = []
+    for raw in text.splitlines():
+        stripped = raw.strip()
+        if (
+            not stripped
+            or stripped.startswith(">>>")
+            or stripped.startswith("...")
+            or _UNDERLINE.match(stripped)
+            or _DIRECTIVE.match(stripped)
+        ):
+            if cur:
+                paras.append(" ".join(cur))
+                cur = []
+            continue
+        cur.append(_clean_line(stripped))
+    if cur:
+        paras.append(" ".join(cur))
+    return paras
+
+
+def _looks_like_prose(p: str) -> bool:
+    words = p.split()
+    if not (_MIN_WORDS <= len(words) <= _MAX_WORDS):
+        return False
+    alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+    return alpha / len(words) >= _MIN_ALPHA_RATIO
+
+
+def normalized_hash(p: str) -> str:
+    """Whitespace/case-insensitive content hash used for dedup and for the
+    eval-passage holdout."""
+    norm = " ".join(p.lower().split())
+    return hashlib.blake2b(norm.encode("utf-8"), digest_size=12).hexdigest()
+
+
+def _package_root(name: str) -> Optional[str]:
+    import importlib.util
+
+    spec = importlib.util.find_spec(name)
+    if spec is None or not spec.submodule_search_locations:
+        return None
+    return list(spec.submodule_search_locations)[0]
+
+
+def _iter_docstrings(py_path: str) -> Iterable[str]:
+    try:
+        with open(py_path, encoding="utf-8", errors="ignore") as f:
+            tree = ast.parse(f.read())
+    except (SyntaxError, ValueError, OSError):
+        return
+    for node in ast.walk(tree):
+        if isinstance(
+            node,
+            (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+        ):
+            doc = ast.get_docstring(node)
+            if doc:
+                yield doc
+
+
+def harvest(
+    packages: Sequence[str] = DEFAULT_PACKAGES,
+    exclude_hashes: Optional[Set[str]] = None,
+    max_paragraphs: Optional[int] = None,
+) -> List[str]:
+    """Deterministic paragraph list from installed packages' docstrings and
+    bundled .rst/.md/.txt doc files. Order is stable (sorted paths) so runs
+    are reproducible; duplicates (and any `exclude_hashes` holdout — e.g.
+    the quality-eval passages) are dropped."""
+    exclude = exclude_hashes or set()
+    seen: Set[str] = set()
+    out: List[str] = []
+
+    def _add(paragraphs: Iterable[str]) -> bool:
+        for p in paragraphs:
+            if not _looks_like_prose(p):
+                continue
+            h = normalized_hash(p)
+            if h in seen or h in exclude:
+                continue
+            seen.add(h)
+            out.append(p)
+            if max_paragraphs is not None and len(out) >= max_paragraphs:
+                return True
+        return False
+
+    for pkg in packages:
+        root = _package_root(pkg)
+        if root is None:
+            continue
+        for path in sorted(glob.glob(os.path.join(root, "**", "*.py"), recursive=True)):
+            for doc in _iter_docstrings(path):
+                if _add(paragraphs_from_text(doc)):
+                    return out
+        for ext in ("rst", "md", "txt"):
+            for path in sorted(
+                glob.glob(os.path.join(root, "**", f"*.{ext}"), recursive=True)
+            ):
+                try:
+                    with open(path, encoding="utf-8", errors="ignore") as f:
+                        text = f.read()
+                except OSError:
+                    continue
+                if _add(paragraphs_from_text(text)):
+                    return out
+    return out
+
+
+def save_paragraphs(paragraphs: Sequence[str], path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        for p in paragraphs:
+            f.write(p.replace("\n", " ") + "\n")
+
+
+def load_paragraphs(path: str) -> List[str]:
+    with open(path, encoding="utf-8") as f:
+        return [line.rstrip("\n") for line in f if line.strip()]

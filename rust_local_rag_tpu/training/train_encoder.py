@@ -1,0 +1,217 @@
+"""Contrastive encoder training driver.
+
+Trains the retrieval encoder (models/encoder.py) from scratch on locally
+harvested documentation prose (training/corpus.py) with the Contriever
+recipe (training/pairs.py) and saves the committed serving checkpoint
+`assets/encoder.safetensors` (f16 storage, architecture config embedded in
+the safetensors metadata).
+
+Run on the TPU chip:
+    python -m rust_local_rag_tpu.training.train_encoder \
+        --corpus .cache/train_corpus.txt --steps 8000
+
+The quality eval's corpus passages are held out of training when
+--exclude-eval is set (default): eval_harness.corpus exposes the passage
+hashes and training/corpus.harvest drops matching paragraphs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def _default_out() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "encoder.safetensors",
+    )
+
+
+def retrieval_accuracy(params, cfg, bank, batch=256) -> float:
+    """Top-1 accuracy of crop-A retrieving crop-B among the bank."""
+    import jax.numpy as jnp
+
+    from rust_local_rag_tpu.models.encoder import _jit_forward
+
+    q_ids, q_mask, p_ids, p_mask = bank
+
+    def embed(ids, mask):
+        outs = []
+        for lo in range(0, ids.shape[0], batch):
+            outs.append(
+                np.asarray(
+                    _jit_forward(
+                        params,
+                        jnp.asarray(ids[lo : lo + batch]),
+                        jnp.asarray(mask[lo : lo + batch]),
+                        cfg,
+                    )
+                )
+            )
+        return np.concatenate(outs)
+
+    q = embed(q_ids, q_mask)
+    p = embed(p_ids, p_mask)
+    sims = q @ p.T
+    return float((sims.argmax(axis=1) == np.arange(len(q))).mean())
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", help="pre-harvested paragraph file")
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--scan", type=int, default=16, help="steps per dispatch")
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--warmup", type=int, default=400)
+    ap.add_argument("--weight-decay", type=float, default=0.01)
+    ap.add_argument("--temperature", type=float, default=0.05)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--ffn", type=int, default=1024)
+    ap.add_argument("--out-dim", type=int, default=768)
+    ap.add_argument("--out", default=_default_out())
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--eval-every", type=int, default=1600)
+    ap.add_argument("--eval-bank", type=int, default=1024)
+    ap.add_argument("--holdout", type=int, default=2048,
+                    help="paragraphs reserved for the eval bank")
+    ap.add_argument(
+        "--no-exclude-eval",
+        action="store_true",
+        help="do NOT hold the quality-eval corpus passages out of training",
+    )
+    args = ap.parse_args(argv)
+
+    import jax
+    from jax.sharding import Mesh
+
+    import optax
+
+    from rust_local_rag_tpu.models.checkpoint import save_params
+    from rust_local_rag_tpu.models.encoder import EncoderConfig, init_encoder_params
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.parallel.train import (
+        make_optax_scan_step,
+        shard_params,
+    )
+    from rust_local_rag_tpu.training.corpus import harvest, load_paragraphs
+    from rust_local_rag_tpu.training.pairs import PairBatcher
+
+    tok_path = args.tokenizer or os.path.join(
+        os.path.dirname(args.out), "tokenizer.json"
+    )
+    tokenizer = HfTokenizer(tok_path)
+
+    exclude = None
+    if not args.no_exclude_eval:
+        try:
+            from eval_harness.corpus import passage_hashes
+
+            exclude = passage_hashes()
+            print(f"holding out {len(exclude)} eval passages from training")
+        except ImportError:
+            print("eval_harness passage hashes unavailable; no holdout")
+
+    if args.corpus:
+        paragraphs = load_paragraphs(args.corpus)
+        if exclude:
+            from rust_local_rag_tpu.training.corpus import normalized_hash
+
+            before = len(paragraphs)
+            paragraphs = [
+                p for p in paragraphs if normalized_hash(p) not in exclude
+            ]
+            print(f"holdout dropped {before - len(paragraphs)} paragraphs")
+    else:
+        paragraphs = harvest(exclude_hashes=exclude)
+    print(f"{len(paragraphs)} training paragraphs")
+
+    # deterministic split: tail paragraphs are the held-out eval bank
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(paragraphs))
+    hold_n = min(args.holdout, len(paragraphs) // 10)
+    train_pars = [paragraphs[i] for i in order[:-hold_n]]
+    held_pars = [paragraphs[i] for i in order[-hold_n:]]
+
+    batcher = PairBatcher(train_pars, tokenizer, seed=args.seed)
+    held = PairBatcher(held_pars, tokenizer, seed=args.seed)
+    bank = held.eval_bank(args.eval_bank)
+    print(f"{len(batcher.docs)} croppable train docs, bank {bank[0].shape[0]}")
+
+    cfg = EncoderConfig(
+        vocab_size=tokenizer.vocab_size,
+        dim=args.dim,
+        depth=args.depth,
+        heads=args.heads,
+        ffn_dim=args.ffn,
+        out_dim=args.out_dim,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(args.seed), cfg)
+
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices).reshape(len(devices), 1), ("data", "model"))
+    params = shard_params(params, mesh, cfg)
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1)
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=args.weight_decay),
+    )
+    opt_state = tx.init(params)
+    step_fn = make_optax_scan_step(mesh, cfg, tx, args.temperature)
+
+    acc0 = retrieval_accuracy(params, cfg, bank)
+    print(f"step 0: held-out retrieval acc {acc0:.3f} (chance "
+          f"{1.0 / bank[0].shape[0]:.4f})")
+
+    done = 0
+    t0 = time.monotonic()
+    while done < args.steps:
+        s = min(args.scan, args.steps - done)
+        qi, qm, pi, pm = batcher.stacked_batches(s, args.batch)
+        if s < args.scan:  # pad the scan axis to keep one compiled shape
+            reps = args.scan - s
+            qi = np.concatenate([qi, qi[-1:].repeat(reps, 0)])
+            qm = np.concatenate([qm, qm[-1:].repeat(reps, 0)])
+            pi = np.concatenate([pi, pi[-1:].repeat(reps, 0)])
+            pm = np.concatenate([pm, pm[-1:].repeat(reps, 0)])
+        params, opt_state, loss = step_fn(params, opt_state, qi, qm, pi, pm)
+        done += args.scan
+        if done % max(args.scan * 4, 64) == 0 or done >= args.steps:
+            dt = time.monotonic() - t0
+            print(
+                f"step {done}/{args.steps} loss {float(loss):.4f} "
+                f"({done / dt:.1f} steps/s, "
+                f"{done * args.batch / dt:.0f} pairs/s)",
+                flush=True,
+            )
+        if args.eval_every and (done % args.eval_every == 0 or done >= args.steps):
+            acc = retrieval_accuracy(params, cfg, bank)
+            print(f"step {done}: held-out retrieval acc {acc:.3f}", flush=True)
+
+    save_params(
+        jax.device_get(params),
+        args.out,
+        metadata={
+            "encoder_config": cfg.to_json(),
+            "trained_steps": str(args.steps),
+            "train_paragraphs": str(len(train_pars)),
+        },
+        half=True,
+    )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,3 +26,8 @@ def rng():
 
 # Pallas kernels run in interpreter mode on the CPU test platform.
 os.environ.setdefault("RAG_TPU_PALLAS_INTERPRET", "1")
+
+# Hermetic by default: tests must not silently depend on committed model
+# assets (trained encoder/tokenizer); tests that exercise the assets opt
+# back in by clearing this.
+os.environ.setdefault("RAG_TPU_NO_DEFAULT_ASSETS", "1")

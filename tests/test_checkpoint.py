@@ -14,7 +14,7 @@ from rust_local_rag_tpu.models.encoder import (
 
 CFG = EncoderConfig(
     vocab_size=128, dim=16, depth=2, heads=2, ffn_dim=32, max_len=16,
-    activation_dtype="float32",
+    activation_dtype="float32", out_dim=16,
 )
 
 

@@ -24,7 +24,7 @@ from rust_local_rag_tpu.models.tokenizer import HashTokenizer, bucket_length
 
 TINY_ENC = EncoderConfig(
     vocab_size=512, dim=32, depth=2, heads=2, ffn_dim=64, max_len=64,
-    activation_dtype="float32",
+    activation_dtype="float32", out_dim=32,
 )
 TINY_RR = RerankerConfig(
     vocab_size=512, dim=32, depth=2, heads=2, ffn_dim=64, max_len=128,

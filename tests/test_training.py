@@ -1,0 +1,170 @@
+"""Training subsystem: corpus harvesting, pair construction, checkpoint
+metadata round-trip, and the committed tokenizer asset."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from rust_local_rag_tpu.models.checkpoint import save_params
+from rust_local_rag_tpu.models.encoder import (
+    EncoderConfig,
+    TransformerEncoderModel,
+    init_encoder_params,
+    load_encoder_checkpoint,
+)
+from rust_local_rag_tpu.training import corpus as tc
+
+ASSET_TOK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "rust_local_rag_tpu",
+    "assets",
+    "tokenizer.json",
+)
+
+needs_tokenizer = pytest.mark.skipif(
+    not os.path.exists(ASSET_TOK), reason="tokenizer asset not built"
+)
+
+
+# ----- corpus harvesting -----
+
+def test_paragraphs_from_text_strips_markup_and_code():
+    text = (
+        "Compute the arithmetic mean along the specified axis.\n"
+        "Returns the :func:`average` of the array elements as ``ndarray``.\n"
+        "\n"
+        ">>> np.mean([1, 2, 3])\n"
+        "2.0\n"
+        "\n"
+        ".. note:: something\n"
+        "Second paragraph about broadcasting rules across dimensions here.\n"
+    )
+    paras = tc.paragraphs_from_text(text)
+    # doctest '>>>'/'...' lines are dropped; stray output ("2.0") survives
+    # here but is rejected downstream by the prose filter
+    assert "average" in paras[0] and ":func:" not in paras[0]
+    assert "``" not in paras[0]
+    assert not any(">>>" in p for p in paras)
+    assert paras[-1].startswith("Second paragraph")
+    assert not tc._looks_like_prose("2.0")
+    assert tc._looks_like_prose(paras[0])
+
+
+def test_harvest_is_deterministic_and_excludes():
+    a = tc.harvest(packages=("chex",), max_paragraphs=50)
+    b = tc.harvest(packages=("chex",), max_paragraphs=50)
+    assert a == b and len(a) > 0
+    # excluding the first paragraph's hash removes exactly it
+    ex = {tc.normalized_hash(a[0])}
+    c = tc.harvest(packages=("chex",), exclude_hashes=ex, max_paragraphs=50)
+    assert a[0] not in c and a[1] in c
+
+
+def test_normalized_hash_is_whitespace_case_insensitive():
+    h1 = tc.normalized_hash("Gradient  Descent converges\nslowly")
+    h2 = tc.normalized_hash("gradient descent CONVERGES slowly")
+    assert h1 == h2
+
+
+# ----- pair batching -----
+
+@needs_tokenizer
+def test_pair_batcher_shapes_and_specials():
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.training.pairs import PairBatcher
+
+    pars = [
+        "The gradient of the loss with respect to the parameters is "
+        "computed by reverse-mode automatic differentiation over the "
+        "traced computation graph, then averaged across the batch axis "
+        "before the optimizer update is applied to every weight tensor.",
+    ] * 8
+    b = PairBatcher(pars, HfTokenizer(ASSET_TOK), seq_len=32, seed=0)
+    q_ids, q_mask, p_ids, p_mask = b.batch(4)
+    assert q_ids.shape == (4, 32) and p_mask.shape == (4, 32)
+    # every row starts with [CLS] and the masked region ends with [SEP]
+    for i in range(4):
+        n = int(q_mask[i].sum())
+        assert q_ids[i, 0] == b.cls_id
+        assert q_ids[i, n - 1] == b.sep_id
+        assert (q_ids[i, n:] == b.pad_id).all()
+    # positives differ from queries (independent crops) at least sometimes
+    assert (q_ids != p_ids).any()
+
+
+@needs_tokenizer
+def test_pair_batcher_stacked_and_bank():
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.training.pairs import PairBatcher
+
+    pars = [
+        f"Topic {i}: the scheduler assigns work to each replica and "
+        "collects partial results into a single ordered output stream "
+        "which downstream consumers read with bounded memory usage."
+        for i in range(16)
+    ]
+    b = PairBatcher(pars, HfTokenizer(ASSET_TOK), seq_len=32, seed=1)
+    qi, qm, pi, pm = b.stacked_batches(3, 4)
+    assert qi.shape == (3, 4, 32)
+    bank = b.eval_bank(8)
+    assert bank[0].shape[0] == 8
+
+
+# ----- checkpoint metadata / out_proj -----
+
+def test_checkpoint_metadata_roundtrip(tmp_path):
+    cfg = EncoderConfig(
+        vocab_size=64, dim=16, depth=1, heads=2, ffn_dim=32, max_len=16,
+        activation_dtype="float32", out_dim=24,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    assert "out_proj" in params and params["out_proj"].shape == (16, 24)
+    path = str(tmp_path / "e.safetensors")
+    save_params(params, path, metadata={"encoder_config": cfg.to_json()}, half=True)
+    loaded, meta_cfg = load_encoder_checkpoint(path)
+    assert meta_cfg == cfg
+    # f16 storage widens back to f32
+    assert loaded["embed"].dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(loaded["embed"]),
+        np.asarray(params["embed"]),
+        atol=1e-3,
+    )
+
+
+def test_model_uses_embedded_config(tmp_path):
+    cfg = EncoderConfig(
+        vocab_size=64, dim=16, depth=1, heads=2, ffn_dim=32, max_len=16,
+        activation_dtype="float32", out_dim=24,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "e.safetensors")
+    save_params(params, path, metadata={"encoder_config": cfg.to_json()})
+    m = TransformerEncoderModel(weights_path=path)
+    assert m.cfg == cfg
+    assert m.dim == 24  # service dim is the OUTPUT dim
+    out = m.encode(["hello world"])
+    assert out.shape == (1, 24)
+    np.testing.assert_allclose((out ** 2).sum(axis=1), 1.0, rtol=1e-5)
+
+
+# ----- tokenizer asset -----
+
+@needs_tokenizer
+def test_tokenizer_asset_contract():
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+
+    t = HfTokenizer(ASSET_TOK)
+    # yes/no must be single content tokens (reranker decision ids)
+    cls_sep = {t.tokenize("")[0], t.tokenize("")[-1]}
+    for w in ("yes", "no"):
+        content = [i for i in t.tokenize(w) if i not in cls_sep]
+        assert len(content) == 1, (w, content)
+    # zero UNK on plain technical English
+    unk = t._tok.token_to_id("[UNK]")
+    ids = t.tokenize(
+        "Sparse matrices reduce memory usage when most entries are zero."
+    )
+    assert unk not in ids
