@@ -41,12 +41,17 @@ class RAGClient:
         self.timeout = timeout
         self._session = requests.Session()
 
-    def search(self, query: str, top_k: int = 5) -> SearchResponse:
+    def search(
+        self, query: str, top_k: int = 5, params: Optional[dict] = None
+    ) -> SearchResponse:
+        """`params` carries optional per-request search settings (weights,
+        use_reranker, rejection_threshold) straight into the request body /
+        tool arguments."""
         start = time.perf_counter()
         if self.mode == "mcp":
-            results = self._search_via_mcp(query, top_k)
+            results = self._search_via_mcp(query, top_k, params)
         else:
-            results = self._search_via_http(query, top_k)
+            results = self._search_via_http(query, top_k, params)
         return SearchResponse(
             results=results, latency_ms=(time.perf_counter() - start) * 1000
         )
@@ -67,11 +72,16 @@ class RAGClient:
             )
         return out
 
-    def _search_via_http(self, query: str, top_k: int) -> List[SearchResult]:
+    def _search_via_http(
+        self, query: str, top_k: int, params: Optional[dict] = None
+    ) -> List[SearchResult]:
+        body = {"query": query, "top_k": top_k}
+        if params:
+            body.update(params)
         try:
             resp = self._session.post(
                 f"{self.endpoint}/search",
-                json={"query": query, "top_k": top_k},
+                json=body,
                 timeout=self.timeout,
             )
             resp.raise_for_status()
@@ -79,16 +89,21 @@ class RAGClient:
         except requests.exceptions.RequestException as e:
             raise ConnectionError(f"Failed to connect to RAG server: {e}") from e
 
-    def _search_via_mcp(self, query: str, top_k: int) -> List[SearchResult]:
+    def _search_via_mcp(
+        self, query: str, top_k: int, params: Optional[dict] = None
+    ) -> List[SearchResult]:
         """MCP tools/call; our server returns markdown text like the
         reference's, so results are parsed from the markdown blocks."""
+        arguments = {"query": query, "top_k": top_k}
+        if params:
+            arguments.update(params)
         payload = {
             "jsonrpc": "2.0",
             "id": int(time.time() * 1000),
             "method": "tools/call",
             "params": {
                 "name": "search_documents",
-                "arguments": {"query": query, "top_k": top_k},
+                "arguments": arguments,
             },
         }
         try:

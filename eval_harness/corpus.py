@@ -1,92 +1,56 @@
-"""Synthetic evaluation corpus: deterministic multi-topic PDFs + labeled
-ground-truth queries, so the quality evaluation runs hermetically (the
-reference's ground truth points at a proprietary quant-finance PDF corpus
-that does not ship with the repo)."""
+"""Evaluation corpus materialization: PDFs + ground-truth JSONL.
+
+The corpus content lives in corpus_data.py (18 authored manual-style
+documents, 45 retrieval + 5 rejection queries — see its module docstring
+for the hardness design). This module renders the documents as real
+multi-page PDFs (so the evaluation exercises the full ingest pipeline:
+extraction, chunking, page tracking) and writes the reference-format
+ground truth (queries.jsonl schema from
+/root/reference/docs/RAG_EVALUATION_FRAMEWORK_SPEC.md:115-205).
+
+passage_hashes() exposes normalized content hashes of every passage so the
+encoder training pipeline can hold eval text out of its corpus
+(training/corpus.harvest exclude_hashes) — with authored passages this is
+belt-and-braces, but it keeps the no-memorization property enforced rather
+than assumed.
+"""
 
 from __future__ import annotations
 
 import json
 import os
+import textwrap
 import zlib
-from typing import List
+from typing import List, Set
 
-# Each topic: (document name, category, pages of text, queries with the
-# gold page). Text is written so distinct topics share little vocabulary.
-_TOPICS = [
-    {
-        "doc": "astronomy_handbook.pdf",
-        "category": "science",
-        "pages": [
-            "STELLAR SPECTROSCOPY\n\nSpectral lines reveal the chemical "
-            "composition of distant stars. Doppler shifts in these lines "
-            "measure radial velocity of galaxies. Absorption features map "
-            "stellar atmospheres in detail.",
-            "EXOPLANET DETECTION\n\nTransit photometry detects planets when "
-            "they dim their host star. Radial velocity wobbles expose the "
-            "mass of orbiting companions. Direct imaging requires blocking "
-            "the glare with a coronagraph.",
-        ],
-        "queries": [
-            ("How do spectral lines reveal what stars are made of?", 1, "easy"),
-            ("What methods detect planets orbiting other stars?", 2, "medium"),
-        ],
-    },
-    {
-        "doc": "bread_science.pdf",
-        "category": "cooking",
-        "pages": [
-            "FERMENTATION BASICS\n\nWild yeast cultures leaven sourdough "
-            "through slow fermentation. Lactic bacteria give the crumb its "
-            "tangy flavor profile. Starter hydration controls the pace of "
-            "microbial activity.",
-            "GLUTEN DEVELOPMENT\n\nKneading aligns gluten proteins into an "
-            "elastic network. Autolyse rests let flour hydrate before "
-            "mixing begins. Proper tension shapes the final loaf structure.",
-        ],
-        "queries": [
-            ("Why does sourdough taste tangy after fermentation?", 1, "easy"),
-            ("How does kneading build structure in dough?", 2, "medium"),
-        ],
-    },
-    {
-        "doc": "portfolio_theory.pdf",
-        "category": "finance",
-        "pages": [
-            "DIVERSIFICATION\n\nSpreading capital across uncorrelated assets "
-            "reduces idiosyncratic risk. The efficient frontier charts the "
-            "best achievable risk and return tradeoffs. Covariance between "
-            "holdings drives portfolio variance.",
-            "RISK MEASURES\n\nValue at risk estimates the maximum loss at a "
-            "confidence level. Sharpe ratios compare excess return to "
-            "volatility. Drawdown statistics capture sustained declines.",
-        ],
-        "queries": [
-            ("How does diversification reduce portfolio risk?", 1, "easy"),
-            ("What does value at risk measure for investors?", 2, "hard"),
-        ],
-    },
-    {
-        "doc": "alpine_flora.pdf",
-        "category": "botany",
-        "pages": [
-            "CUSHION PLANTS\n\nAlpine cushion plants hug the ground to "
-            "escape freezing winds. Dense hairy leaves trap warmth near the "
-            "rosette. Slow growth lets them survive on thin rocky soils.",
-            "POLLINATION AT ALTITUDE\n\nBumblebees dominate pollination "
-            "above the treeline. Flowers track the sun to warm visiting "
-            "insects. Short summers compress the entire blooming season.",
-        ],
-        "queries": [
-            ("How do cushion plants survive alpine cold?", 1, "medium"),
-            ("Which insects pollinate flowers above the treeline?", 2, "easy"),
-        ],
-    },
-]
+from eval_harness.corpus_data import DOCS, QUERIES, REJECTION_QUERIES
 
-_REJECTION_QUERIES = [
-    "What is the capital city of the moon federation?",
-    "How do submarines bake sourdough at stellar altitude?",
-]
+_WRAP_WIDTH = 78
+
+
+def _ascii(s: str) -> str:
+    """PDF content streams here are latin-1; transliterate the few
+    non-latin typographic characters the authored text uses."""
+    s = (
+        s.replace("—", "--")
+        .replace("–", "-")
+        .replace("‘", "'")
+        .replace("’", "'")
+        .replace("“", '"')
+        .replace("”", '"')
+    )
+    # harvested distractor prose may carry arbitrary unicode; anything
+    # beyond latin-1 degrades to '?' in the rendered PDF (content only —
+    # never used for gold matching)
+    return s.encode("latin-1", "replace").decode("latin-1")
+
+
+def _wrap_page(text: str) -> str:
+    lines: List[str] = []
+    for para in text.split("\n"):
+        wrapped = textwrap.wrap(para, _WRAP_WIDTH) or [""]
+        lines.extend(wrapped)
+    return "\n".join(lines)
 
 
 def _make_pdf(pages: List[str]) -> bytes:
@@ -149,14 +113,64 @@ def _make_pdf(pages: List[str]) -> bytes:
     return bytes(out)
 
 
-def generate_corpus(documents_dir: str) -> List[str]:
-    """Write the synthetic PDFs; returns document names."""
+_DISTRACTORS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "distractors.jsonl"
+)
+
+
+def load_distractors() -> List[dict]:
+    """The committed distractor documents: 45 x 8 pages of real harvested
+    documentation prose (no gold references point at them). They exist to
+    make the corpus large enough that top-5 of N is a real test — without
+    them 5 results over ~54 authored chunks lets even weak lexical signals
+    'hit' (observed: BM25-only scored 0.889 on the authored docs alone)."""
+    if not os.path.exists(_DISTRACTORS_PATH):
+        return []
+    out = []
+    with open(_DISTRACTORS_PATH, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
+
+
+def passage_hashes() -> Set[str]:
+    """Normalized content hashes of every eval passage — authored AND
+    distractor — for the training holdout."""
+    from rust_local_rag_tpu.training.corpus import normalized_hash
+
+    out: Set[str] = set()
+    for doc in DOCS:
+        for page in doc["pages"]:
+            body = _ascii(page)
+            out.add(normalized_hash(body))
+            # also hash the body without its heading line, the form a
+            # harvested paragraph would most plausibly take
+            parts = body.split("\n", 1)
+            if len(parts) == 2:
+                out.add(normalized_hash(parts[1]))
+    for doc in load_distractors():
+        for page in doc["pages"]:
+            out.add(normalized_hash(page))
+            for para in page.split("\n\n"):
+                out.add(normalized_hash(para))
+    return out
+
+
+def generate_corpus(
+    documents_dir: str, with_distractors: bool = True
+) -> List[str]:
+    """Write the evaluation PDFs; returns document names."""
     os.makedirs(documents_dir, exist_ok=True)
     names = []
-    for topic in _TOPICS:
+    topics: List[dict] = list(DOCS)
+    if with_distractors:
+        topics = topics + load_distractors()
+    for topic in topics:
         path = os.path.join(documents_dir, topic["doc"])
+        pages = [_wrap_page(_ascii(p)) for p in topic["pages"]]
         with open(path, "wb") as f:
-            f.write(_make_pdf(topic["pages"]))
+            f.write(_make_pdf(pages))
         names.append(topic["doc"])
     return names
 
@@ -164,39 +178,36 @@ def generate_corpus(documents_dir: str) -> List[str]:
 def generate_ground_truth(path: str) -> int:
     """Write the JSONL ground truth; returns query count."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cat = {d["doc"]: d["category"] for d in DOCS}
     rows = []
-    qn = 1
-    for topic in _TOPICS:
-        for query, page, difficulty in topic["queries"]:
-            rows.append(
-                {
-                    "query_id": f"Q{qn:03d}",
-                    "query": query,
-                    "category": topic["category"],
-                    "difficulty": difficulty,
-                    "is_rejection": False,
-                    "gold_references": [
-                        {"document": topic["doc"], "page": page, "relevance": 3}
-                    ],
-                    "expected_answer_gist": "",
-                    "notes": "synthetic",
-                }
-            )
-            qn += 1
-    for query in _REJECTION_QUERIES:
+    for qn, (query, doc, page, difficulty, gist) in enumerate(QUERIES, 1):
         rows.append(
             {
                 "query_id": f"Q{qn:03d}",
+                "query": query,
+                "category": cat[doc],
+                "difficulty": difficulty,
+                "is_rejection": False,
+                "gold_references": [
+                    {"document": doc, "page": page, "relevance": 3}
+                ],
+                "expected_answer_gist": gist,
+                "notes": "authored eval corpus v2",
+            }
+        )
+    for i, query in enumerate(REJECTION_QUERIES):
+        rows.append(
+            {
+                "query_id": f"Q{len(QUERIES) + i + 1:03d}",
                 "query": query,
                 "category": "rejection",
                 "difficulty": "hard",
                 "is_rejection": True,
                 "gold_references": [],
                 "expected_answer_gist": "no relevant content exists",
-                "notes": "synthetic rejection",
+                "notes": "authored eval corpus v2",
             }
         )
-        qn += 1
     with open(path, "w", encoding="utf-8") as f:
         for row in rows:
             f.write(json.dumps(row) + "\n")

@@ -60,6 +60,10 @@ def _print_summary(report: dict) -> None:
 
 def cmd_evaluate(args) -> int:
     config = EvalConfig.from_yaml(args.config) if args.config else EvalConfig()
+    if getattr(args, "endpoint", None):
+        config.rag_endpoint = args.endpoint
+    if getattr(args, "ground_truth", None):
+        config.ground_truth_path = args.ground_truth
     client = RAGClient(endpoint=config.rag_endpoint, mode=config.connection_mode)
     if not client.health_check():
         print(f"Server at {config.rag_endpoint} is not ready", file=sys.stderr)
@@ -117,6 +121,10 @@ def main(argv=None) -> int:
     p_eval = sub.add_parser("evaluate")
     p_eval.add_argument("--config", default=None)
     p_eval.add_argument("--out", default="eval_harness/reports")
+    p_eval.add_argument("--endpoint", default=None,
+                        help="override the config's rag_endpoint")
+    p_eval.add_argument("--ground-truth", default=None,
+                        help="override the config's ground_truth_path")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_check = sub.add_parser("check")

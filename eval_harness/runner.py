@@ -21,6 +21,7 @@ from eval_harness import metrics as M
 from eval_harness.client import RAGClient, matches_gold_reference
 
 HIT_RATE_SUCCESS_THRESHOLD = 0.80  # eval/run.py:196-200
+REJECTION_SUCCESS_THRESHOLD = 0.80
 
 
 @dataclass
@@ -34,6 +35,9 @@ class EvalConfig:
     page_tolerance: int = 1
     rejection_score_threshold: float = 0.3
     ground_truth_path: str = "eval_harness/ground_truth/queries.jsonl"
+    # per-request search settings shipped to the server verbatim: weight
+    # overrides, use_reranker, engine-level rejection_threshold
+    search_params: dict = field(default_factory=dict)
 
     @classmethod
     def from_yaml(cls, path: str) -> "EvalConfig":
@@ -89,7 +93,11 @@ class EvalRunner:
         )
 
     def evaluate_query(self, gt: GroundTruthQuery) -> dict:
-        resp = self.client.search(gt.query, top_k=self.config.top_k)
+        resp = self.client.search(
+            gt.query,
+            top_k=self.config.top_k,
+            params=self.config.search_params or None,
+        )
         results = resp.results
 
         if gt.is_rejection:
@@ -112,8 +120,10 @@ class EvalRunner:
             return {
                 "query_id": gt.query_id,
                 "category": gt.category,
+                "difficulty": gt.difficulty,
                 "is_rejection": True,
                 "rejection_success": success,
+                "n_returned": len(results),
                 "hit_rate": 1.0 if success else 0.0,
                 "mrr": 1.0 if success else 0.0,
                 "ndcg": 1.0 if success else 0.0,
@@ -149,6 +159,7 @@ class EvalRunner:
         return {
             "query_id": gt.query_id,
             "category": gt.category,
+            "difficulty": gt.difficulty,
             "is_rejection": False,
             "hit_rate": M.hit_rate_at_k(gold_keys, retrieved_keys, k),
             "mrr": M.mrr_at_k(gold_keys, retrieved_keys, k),
@@ -166,8 +177,10 @@ class EvalRunner:
         rejection = [r for r in per_query if r["is_rejection"]]
 
         by_category: Dict[str, List[dict]] = {}
+        by_difficulty: Dict[str, List[dict]] = {}
         for r in retrieval:
             by_category.setdefault(r["category"], []).append(r)
+            by_difficulty.setdefault(r.get("difficulty", "medium"), []).append(r)
 
         summary = M.aggregate_metrics(retrieval)
         summary["rejection_success_rate"] = (
@@ -176,17 +189,26 @@ class EvalRunner:
             if rejection
             else None
         )
-        summary["passed"] = (
-            summary.get("hit_rate_mean", 0.0) >= HIT_RATE_SUCCESS_THRESHOLD
-        )
+        # the gate covers BOTH halves of retrieval quality: finding what IS
+        # there (hit rate) and refusing what is NOT (rejection) — the
+        # reference's banner checks hit rate only (eval/run.py:196-200)
+        hit_ok = summary.get("hit_rate_mean", 0.0) >= HIT_RATE_SUCCESS_THRESHOLD
+        rej = summary["rejection_success_rate"]
+        rej_ok = rej is None or rej >= REJECTION_SUCCESS_THRESHOLD
+        summary["passed"] = hit_ok and rej_ok
         return {
             "config": self.config.name,
+            "search_params": self.config.search_params,
             "started_at": started,
             "duration_s": time.time() - started,
             "summary": summary,
             "by_category": {
                 cat: M.aggregate_metrics(rows)
                 for cat, rows in sorted(by_category.items())
+            },
+            "by_difficulty": {
+                d: M.aggregate_metrics(rows)
+                for d, rows in sorted(by_difficulty.items())
             },
             "per_query": per_query,
         }
@@ -216,8 +238,15 @@ def write_reports(report: dict, out_dir: str) -> None:
         f"- latency p50/p95/p99 ms: {s.get('latency_p50_ms', 0):.1f} / "
         f"{s.get('latency_p95_ms', 0):.1f} / {s.get('latency_p99_ms', 0):.1f}",
         "",
-        "## By category",
+        "## By difficulty",
     ]
+    for d, agg in report.get("by_difficulty", {}).items():
+        md.append(
+            f"- {d}: hit {agg['hit_rate_mean']:.2f} mrr {agg['mrr_mean']:.2f} "
+            f"(n={agg['n_queries']})"
+        )
+    md.append("")
+    md.append("## By category")
     for cat, agg in report["by_category"].items():
         md.append(
             f"- {cat}: hit {agg['hit_rate_mean']:.2f} mrr {agg['mrr_mean']:.2f} "

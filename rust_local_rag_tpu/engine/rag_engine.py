@@ -197,6 +197,18 @@ class RagEngine:
         self._device_mmr = (
             bool(_os.environ.get("RAG_TPU_DEVICE_MMR")) and not quantized
         )
+        # Engine-level rejection: when > 0, results whose absolute dense
+        # cosine falls below the threshold are dropped, so an off-corpus
+        # query returns NOTHING instead of the least-bad top_k. The
+        # reference has no engine-side mechanism (its eval judges rejection
+        # client-side, eval_runner.py:229-247); this closes that gap.
+        # Per-request override via the search APIs' rejection_threshold.
+        try:
+            self._rejection_threshold = float(
+                _os.environ.get("RAG_TPU_REJECTION_THRESHOLD", "0") or 0.0
+            )
+        except ValueError:
+            self._rejection_threshold = 0.0
         self.load_from_disk()
 
     # ----- lifecycle -------------------------------------------------------
@@ -356,9 +368,17 @@ class RagEngine:
         query: str,
         top_k: int,
         weights: Optional[QueryWeights] = None,
+        rejection_threshold: Optional[float] = None,
+        use_reranker: bool = True,
     ) -> List[SearchResult]:
         """Two-stage retrieval (rag_engine.rs:470-701)."""
-        return self.search_batch([query], top_k, weights)[0]
+        return self.search_batch(
+            [query],
+            top_k,
+            weights,
+            rejection_threshold=rejection_threshold,
+            use_reranker=use_reranker,
+        )[0]
 
     def search_batch(
         self,
@@ -366,6 +386,8 @@ class RagEngine:
         top_k: int,
         weights: Optional[QueryWeights] = None,
         collect_sims: bool = False,
+        rejection_threshold: Optional[float] = None,
+        use_reranker: bool = True,
     ):
         """Batched two-stage retrieval: the whole query batch rides ONE
         fused first-stage device program and ONE batched rerank forward —
@@ -510,7 +532,7 @@ class RagEngine:
 
         # Rerank: ALL queries' candidates in one batched device forward.
         per_query_reranked: List[list] = [[] for _ in range(nq)]
-        if self.reranker is not None:
+        if self.reranker is not None and use_reranker:
             flat_inputs = []
             for qi, candidates in enumerate(per_query_candidates):
                 for c in candidates:
@@ -548,6 +570,22 @@ class RagEngine:
             )
             for qi in range(nq)
         ]
+        thr = (
+            rejection_threshold
+            if rejection_threshold is not None
+            else self._rejection_threshold
+        )
+        if thr > 0.0:
+            # absolute dense cosine as confidence: blended scores are
+            # per-query max-normalized so they cannot signal "nothing here"
+            outputs = [
+                [
+                    r
+                    for r in out
+                    if (r.embedding_score or 0.0) >= thr
+                ]
+                for out in outputs
+            ]
         if not collect_sims:
             return outputs
         # map each returned result's chunk_id to its device candidate rank
@@ -663,10 +701,17 @@ class RagEngine:
         top_k: int,
         diversity_factor: float,
         weights: Optional[QueryWeights] = None,
+        rejection_threshold: Optional[float] = None,
+        use_reranker: bool = True,
     ) -> List[SearchResult]:
         """MMR-diversified search (rag_engine.rs:717-759)."""
         return self.search_with_diversity_batch(
-            [query], top_k, diversity_factor, weights
+            [query],
+            top_k,
+            diversity_factor,
+            weights,
+            rejection_threshold=rejection_threshold,
+            use_reranker=use_reranker,
         )[0]
 
     def search_with_diversity_batch(
@@ -675,16 +720,22 @@ class RagEngine:
         top_k: int,
         diversity_factor: float,
         weights: Optional[QueryWeights] = None,
+        rejection_threshold: Optional[float] = None,
+        use_reranker: bool = True,
     ) -> List[List[SearchResult]]:
         """Batched MMR-diversified search: one device pass for the pool
         retrieval of the whole batch, per-query MMR selection."""
         diversity_factor = min(max(diversity_factor, 0.0), 1.0)
+        _kw = {
+            "rejection_threshold": rejection_threshold,
+            "use_reranker": use_reranker,
+        }
         if diversity_factor == 0.0:
-            return self.search_batch(queries, top_k, weights)
+            return self.search_batch(queries, top_k, weights, **_kw)
 
         pool = max(top_k * 3, top_k + 10)
         if self._device_mmr:
-            pooled = self.search_batch(queries, pool, weights)
+            pooled = self.search_batch(queries, pool, weights, **_kw)
             return [
                 self._mmr_one(results, top_k, diversity_factor)
                 for results in pooled
@@ -703,14 +754,14 @@ class RagEngine:
         else:
             batch_device = len(queries) >= 8
         if batch_device and not self.store.quantized:
-            pooled = self.search_batch(queries, pool, weights)
+            pooled = self.search_batch(queries, pool, weights, **_kw)
             return self._mmr_many(pooled, top_k, diversity_factor)
 
         # The candidate similarity matrices come back fused with the SAME
         # first-stage dispatch (hybrid_topk with_sims) — zero extra device
         # round trips; the tiny greedy scans run on host per query.
         pooled, sims_info = self.search_batch(
-            queries, pool, weights, collect_sims=True
+            queries, pool, weights, collect_sims=True, **_kw
         )
         if sims_info is None:
             return pooled

@@ -36,6 +36,8 @@ class _Item:
     query: str
     weights: Optional[QueryWeights]
     future: Future
+    rejection_threshold: Optional[float] = None
+    use_reranker: bool = True
 
 
 class SearchBatcher:
@@ -80,11 +82,28 @@ class SearchBatcher:
         top_k: int,
         diversity: float,
         weights: Optional[QueryWeights],
+        rejection_threshold: Optional[float] = None,
+        use_reranker: bool = True,
     ):
         """Blocking search (call from executor threads)."""
         fut: Future = Future()
-        key = (top_k, round(float(diversity), 6), _weights_key(weights))
-        self._queue.put(_Item(key=key, query=query, weights=weights, future=fut))
+        key = (
+            top_k,
+            round(float(diversity), 6),
+            _weights_key(weights),
+            rejection_threshold,
+            bool(use_reranker),
+        )
+        self._queue.put(
+            _Item(
+                key=key,
+                query=query,
+                weights=weights,
+                rejection_threshold=rejection_threshold,
+                use_reranker=bool(use_reranker),
+                future=fut,
+            )
+        )
         return fut.result()
 
     # ----- worker -----
@@ -129,12 +148,17 @@ class SearchBatcher:
     def _execute(self, batch: List[_Item]) -> None:
         if not batch:
             return
-        top_k, diversity, _ = batch[0].key
+        top_k, diversity = batch[0].key[0], batch[0].key[1]
         queries = [it.query for it in batch]
         try:
             with self.engine_lock.read():
                 results = self.engine.search_with_diversity_batch(
-                    queries, top_k, diversity, batch[0].weights
+                    queries,
+                    top_k,
+                    diversity,
+                    batch[0].weights,
+                    rejection_threshold=batch[0].rejection_threshold,
+                    use_reranker=batch[0].use_reranker,
                 )
         except Exception as e:  # noqa: BLE001
             for it in batch:

@@ -66,8 +66,23 @@ class AppContext:
 
     # --- sync operations (called inside an executor) ---
 
-    def search(self, query, top_k, diversity, weights: Optional[QueryWeights]):
-        return self.batcher.search(query, top_k, diversity, weights)
+    def search(
+        self,
+        query,
+        top_k,
+        diversity,
+        weights: Optional[QueryWeights],
+        rejection_threshold: Optional[float] = None,
+        use_reranker: bool = True,
+    ):
+        return self.batcher.search(
+            query,
+            top_k,
+            diversity,
+            weights,
+            rejection_threshold=rejection_threshold,
+            use_reranker=use_reranker,
+        )
 
     def list_documents(self):
         with self.engine_lock.read():
@@ -154,9 +169,20 @@ def build_app(ctx: AppContext) -> web.Application:
             if isinstance(body.get("weights"), dict)
             else None
         )
+        # engine-level rejection + reranker toggle (framework extensions
+        # beyond the reference's API; defaults preserve reference behavior)
+        try:
+            rejection = body.get("rejection_threshold")
+            rejection = None if rejection is None else float(rejection)
+        except (TypeError, ValueError):
+            return web.Response(status=400, text="invalid rejection_threshold")
+        use_reranker = body.get("use_reranker", True)
+        if not isinstance(use_reranker, bool):
+            return web.Response(status=400, text="invalid use_reranker")
         try:
             results = await _in_executor(
-                ctx.search, query, top_k, diversity, weights
+                ctx.search, query, top_k, diversity, weights,
+                rejection, use_reranker,
             )
         except Exception as e:  # noqa: BLE001
             logger.error("Search error: %s", e)

@@ -73,6 +73,21 @@ TOOLS = [
                     ),
                     "properties": _WEIGHT_PROPS,
                 },
+                "rejection_threshold": {
+                    "type": "number",
+                    "description": (
+                        "Minimum absolute dense-similarity confidence; "
+                        "results below it are dropped (possibly returning "
+                        "no results). Default: server configuration."
+                    ),
+                },
+                "use_reranker": {
+                    "type": "boolean",
+                    "description": (
+                        "Set false to skip the rerank stage for this query "
+                        "(default: true)."
+                    ),
+                },
             },
             "required": ["query"],
         },
@@ -204,8 +219,13 @@ class McpHandler:
         diversity = float(args.get("diversity_factor", 0.3))
         diversity = min(max(diversity, 0.0), 1.0)
         weights = QueryWeights.from_dict(args.get("weights"))
+        rejection = args.get("rejection_threshold")
+        rejection = None if rejection is None else float(rejection)
+        use_reranker = bool(args.get("use_reranker", True))
         try:
-            results = self.ctx.search(query, top_k, diversity, weights)
+            results = self.ctx.search(
+                query, top_k, diversity, weights, rejection, use_reranker
+            )
         except Exception as e:  # noqa: BLE001
             return _text_result(f"Search error: {e}", is_error=True)
         return _text_result(

@@ -18,7 +18,15 @@ class RecordingEngine:
         self.delay = delay
         self.lock = threading.Lock()
 
-    def search_with_diversity_batch(self, queries, top_k, diversity, weights):
+    def search_with_diversity_batch(
+        self,
+        queries,
+        top_k,
+        diversity,
+        weights,
+        rejection_threshold=None,
+        use_reranker=True,
+    ):
         with self.lock:
             self.batches.append(list(queries))
         if self.delay:

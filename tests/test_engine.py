@@ -239,3 +239,40 @@ def test_calibrate_via_engine(engine_reranked):
     stats = engine_reranked.reranker.calibrate_timeout("bread", cands, 3)
     assert stats.sample_size == 3
     assert stats.p99_ms >= stats.median_ms >= 0.0
+
+
+def test_rejection_threshold_param(engine):
+    """Engine-level rejection: results below the absolute dense-cosine
+    confidence are dropped, possibly returning nothing (the mechanism the
+    reference lacks — its eval judges rejection client-side only)."""
+    q = list(DOCS.values())[0].split()[0]
+    full = engine.search(q, 3)
+    assert full
+    # an impossible bar rejects everything
+    assert engine.search(q, 3, rejection_threshold=1.1) == []
+    # a zero threshold (explicit) keeps everything
+    kept = engine.search(q, 3, rejection_threshold=0.0)
+    assert [r.chunk_id for r in kept] == [r.chunk_id for r in full]
+    # threshold between the scores splits the result list
+    mid = (full[0].embedding_score + full[-1].embedding_score) / 2
+    some = engine.search(q, 3, rejection_threshold=mid)
+    assert 0 < len(some) <= len(full)
+    assert all(r.embedding_score >= mid for r in some)
+
+
+def test_rejection_threshold_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("RAG_TPU_REJECTION_THRESHOLD", "1.1")
+    svc = EmbeddingService(HashEncoder(dim=DIM, model_name="fake-test-model"))
+    eng = RagEngine(str(tmp_path), svc, reranker=None)
+    eng.add_document("a.pdf", pdfgen.make_pdf(["Some words about gardens."]))
+    assert eng.search("gardens", 3) == []
+    # per-request override beats the env default
+    assert eng.search("gardens", 3, rejection_threshold=0.0)
+
+
+def test_use_reranker_false_skips_rerank(engine_reranked):
+    q = list(DOCS.values())[0].split()[0]
+    on = engine_reranked.search(q, 3)
+    off = engine_reranked.search(q, 3, use_reranker=False)
+    assert any(r.reranker_score is not None for r in on)
+    assert all(r.reranker_score is None for r in off)

