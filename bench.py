@@ -118,17 +118,35 @@ def main() -> None:
     el_exact = (time.perf_counter() - t0) * (n / max(n_pallas, 1))
 
     ingest_cps = None
+    ingest_arch = None
     if os.environ.get("BENCH_INGEST", "1") != "0":
-        # on-TPU embedding ingest: full 12x768 encoder forward throughput
+        # on-TPU embedding ingest with the SERVING encoder (the committed
+        # trained checkpoint when present), measured at the realistic
+        # 256-token bucket — ~200-token chunks tokenize to 200-260
+        # wordpieces, so production batches pad to 256, not the synthetic
+        # L=128 the round-1 bench used (VERDICT r1 weak #5).
         from rust_local_rag_tpu.models.encoder import (
             EncoderConfig,
+            default_asset,
             encoder_forward,
             init_encoder_params,
+            load_encoder_checkpoint,
         )
 
-        cfg = EncoderConfig()
-        params = init_encoder_params(jax.random.PRNGKey(2), cfg)
-        eb, el_, es = 256, 128, 8
+        asset = default_asset("encoder.safetensors")
+        if asset:
+            params, cfg = load_encoder_checkpoint(asset)
+            cfg = cfg or EncoderConfig()
+        else:
+            cfg = EncoderConfig()
+            params = init_encoder_params(jax.random.PRNGKey(2), cfg)
+        ingest_arch = (
+            f"{cfg.depth}L x {cfg.dim}d -> {cfg.out_dim}d"
+            + (" (trained)" if asset else " (random init)")
+        )
+        eb = int(os.environ.get("BENCH_INGEST_BATCH", 256))
+        el_ = int(os.environ.get("BENCH_INGEST_LEN", 256))
+        es = 8
         ids = jax.random.randint(
             jax.random.PRNGKey(3), (es, eb, el_), 4, cfg.vocab_size,
             dtype=jnp.int32,
@@ -149,6 +167,20 @@ def main() -> None:
         float(ingest_loop(params, ids, msk))
         ingest_cps = es * eb / (time.perf_counter() - t0)
 
+    server_qps = None
+    if os.environ.get("BENCH_SERVER", "1") != "0":
+        # end-to-end serving path: aiohttp loopback + micro-batcher + real
+        # encoder + fused retrieval at the 1.25M-chunk per-chip shard
+        from scripts.bench_server import measure_server_qps
+
+        server_qps = measure_server_qps(
+            n_chunks=int(os.environ.get("BENCH_SERVER_N", 1_250_000)),
+            top_k=k,
+            clients=int(os.environ.get("BENCH_SERVER_CLIENTS", 128)),
+            duration_s=float(os.environ.get("BENCH_SERVER_SECONDS", 15)),
+            quiet=True,
+        )
+
     per_chip_qps = steps * q / el_exact
     approx_qps = steps * q / el_approx
     ref_qps = 1.0 / 30.9  # reference p50 30.9 s/query (BASELINE.md)
@@ -168,6 +200,12 @@ def main() -> None:
         "ingest_chunks_per_s_per_chip": (
             round(ingest_cps, 1) if ingest_cps else None
         ),
+        "ingest_encoder": ingest_arch,
+        "ingest_seq_len": int(os.environ.get("BENCH_INGEST_LEN", 256)),
+        "ingest_projected_v5e8": (
+            round(ingest_cps * 8, 1) if ingest_cps else None
+        ),
+        "server_e2e": server_qps,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -158,15 +158,44 @@ class RagEngine:
         # slab over an N-device ICI mesh and routes the first stage through
         # parallel/sharded_search.sharded_hybrid_topk (exact merge). This is
         # how corpora beyond one chip's HBM are served (SURVEY.md §5.8).
+        # Optionally composed with DP query replicas: RAG_TPU_DATA_PARALLEL=M
+        # builds a 2-axis ("data", "corpus") mesh — the query batch shards
+        # over M replicas while each replica's corpus half rides N shards,
+        # all in one device program (parallel/sharded_search data_axis).
         self._mesh = None
+        self._data_axis = None
+        self._data_parallel = 1
         shards = int(_os.environ.get("RAG_TPU_SHARD_CORPUS", "0") or 0)
+        dp = int(_os.environ.get("RAG_TPU_DATA_PARALLEL", "1") or 1)
         if shards > 1:
             import jax as _jax
 
             devices = _jax.devices()
-            if len(devices) >= shards:
+            if dp > 1 and len(devices) >= dp * shards:
                 from jax.sharding import Mesh
 
+                self._mesh = Mesh(
+                    np.array(devices[: dp * shards]).reshape(dp, shards),
+                    ("data", "corpus"),
+                )
+                self._data_axis = "data"
+                self._data_parallel = dp
+                logger.info(
+                    "Composed mesh: %d query replicas x %d corpus shards (%s)",
+                    dp,
+                    shards,
+                    devices[0].platform,
+                )
+            elif len(devices) >= shards:
+                from jax.sharding import Mesh
+
+                if dp > 1:
+                    logger.warning(
+                        "RAG_TPU_DATA_PARALLEL=%d x RAG_TPU_SHARD_CORPUS=%d "
+                        "needs %d devices but only %d exist; running with "
+                        "corpus sharding only",
+                        dp, shards, dp * shards, len(devices),
+                    )
                 self._mesh = Mesh(
                     np.array(devices[:shards]), ("corpus",)
                 )
@@ -192,11 +221,7 @@ class RagEngine:
         self.lexical_index = make_lexical_index()
         self.document_hashes: Dict[str, str] = {}
         self._needs_reindex = False
-        # device MMR loop is f32-only; the quantized path always uses the
-        # fused-sims + host-greedy route
-        self._device_mmr = (
-            bool(_os.environ.get("RAG_TPU_DEVICE_MMR")) and not quantized
-        )
+        self._device_mmr = bool(_os.environ.get("RAG_TPU_DEVICE_MMR"))
         # Engine-level rejection: when > 0, results whose absolute dense
         # cosine falls below the threshold are dropped, so an off-corpus
         # query returns NOTHING instead of the least-bad top_k. The
@@ -405,7 +430,9 @@ class RagEngine:
         # otherwise compile a fresh device program (multi-minute stalls on
         # some TPU compile services). Padded rows are zero queries with no
         # lexical hits; their outputs are dropped below.
-        nq_pad = _bucket_batch(nq)
+        # (the composed mesh shards the query axis over _data_parallel
+        # replicas, so the padded batch must cover at least one row each)
+        nq_pad = max(_bucket_batch(nq), self._data_parallel)
 
         q_emb = self.embedding_service.get_query_embeddings(queries)
         q_emb_p = np.zeros((nq_pad, q_emb.shape[1]), dtype=np.float32)
@@ -456,6 +483,7 @@ class RagEngine:
                 _bucket_k(initial_k),
                 mesh=self._mesh,
                 with_sims=collect_sims,
+                data_axis=self._data_axis,
             )
         elif self.store.quantized:
             out = hybrid_topk_quantized(
@@ -486,6 +514,7 @@ class RagEngine:
                 _bucket_k(initial_k),
                 mesh=self._mesh,
                 with_sims=collect_sims,
+                data_axis=self._data_axis,
             )
         else:
             out = hybrid_topk(
@@ -510,22 +539,39 @@ class RagEngine:
         lex_b = np.asarray(lex_b)[:nq, :initial_k]
         idx_b = np.asarray(idx_b)[:nq, :initial_k]
 
+        # Lazy candidate materialization: Python dicts/metas are built only
+        # for the rows that can be consumed downstream. With reranking on,
+        # that is the whole initial_k pool (every candidate gets a prompt —
+        # reranker.rs:228 semantics); with reranking off, only the top_k
+        # head matters (device rows arrive sorted by combined score, and
+        # the fallback fill consumes them in that order), which cuts the
+        # host-side O(Q * initial_k) object churn that capped server QPS.
+        reranking = self.reranker is not None and use_reranker
+        need_rows = initial_k if reranking else min(top_k, initial_k)
+        # one bulk device->host conversion per array beats per-cell float()
+        vals_l = vals_b[:, :need_rows].tolist()
+        emb_l = emb_b[:, :need_rows].tolist()
+        lex_l = lex_b[:, :need_rows].tolist()
+        idx_l = idx_b[:, :need_rows].tolist()
+        finite_l = np.isfinite(vals_b[:, :need_rows]).tolist()
+
         per_query_candidates: List[List[dict]] = []
         for qi in range(nq):
             candidates: List[dict] = []
-            for rank in range(initial_k):
-                slot = int(idx_b[qi, rank])
-                if slot < 0 or not np.isfinite(vals_b[qi, rank]):
+            row_v, row_e, row_l = vals_l[qi], emb_l[qi], lex_l[qi]
+            row_i, row_f = idx_l[qi], finite_l[qi]
+            for rank in range(need_rows):
+                slot = row_i[rank]
+                if slot < 0 or not row_f[rank]:
                     continue
-                meta = self.store.meta_for_slot(slot)
                 candidates.append(
                     {
                         "slot": slot,
                         "rank": rank,  # row in the device candidate order
-                        "meta": meta,
-                        "initial_score": float(vals_b[qi, rank]),
-                        "embedding_score": float(emb_b[qi, rank]),
-                        "lexical_score": float(lex_b[qi, rank]),
+                        "meta": self.store.meta_for_slot(slot),
+                        "initial_score": row_v[rank],
+                        "embedding_score": row_e[rank],
+                        "lexical_score": row_l[rank],
                     }
                 )
             per_query_candidates.append(candidates)
@@ -753,7 +799,7 @@ class RagEngine:
             batch_device = env not in ("", "0", "false")
         else:
             batch_device = len(queries) >= 8
-        if batch_device and not self.store.quantized:
+        if batch_device:
             pooled = self.search_batch(queries, pool, weights, **_kw)
             return self._mmr_many(pooled, top_k, diversity_factor)
 
@@ -782,6 +828,18 @@ class RagEngine:
             selected = mmr_select_host(sims, rel, top_k, diversity_factor)
             out.append([results[i] for i in selected])
         return out
+
+    def _gather_rows(self, slots: jnp.ndarray) -> jnp.ndarray:
+        """Gather candidate embedding rows on device, dequantizing the int8
+        slab in-kernel so capacity mode runs the same on-device MMR paths
+        as f32/bf16 (no [Q, P, P] host sims fetch)."""
+        if self.store.quantized:
+            from rust_local_rag_tpu.ops.quantized import gather_dequantized
+
+            return gather_dequantized(
+                self.store.corpus(), self.store.scales(), slots
+            )
+        return jnp.take(self.store.corpus(), slots, axis=0)
 
     def _mmr_many(
         self,
@@ -813,7 +871,7 @@ class RagEngine:
                     self.store.slot_for_id(r.chunk_id) for r in results
                 ]
                 rel[qi, :n] = [r.score for r in results]
-        emb = jnp.take(self.store.corpus(), jnp.asarray(slots), axis=0)
+        emb = self._gather_rows(jnp.asarray(slots))
         sel = np.asarray(
             mmr_select_batch(
                 emb,
@@ -842,7 +900,7 @@ class RagEngine:
         p_pad = _bucket_k(n)
         slots_arr = np.zeros(p_pad, dtype=np.int32)
         slots_arr[:n] = np.asarray(slots, dtype=np.int32)
-        emb = jnp.take(self.store.corpus(), jnp.asarray(slots_arr), axis=0)
+        emb = self._gather_rows(jnp.asarray(slots_arr))
 
         if self._device_mmr:
             # Fully on-device greedy loop (ops/mmr.mmr_select).

@@ -27,17 +27,54 @@ from typing import List, Optional, Tuple
 SENTENCE_OVERLAP = 2
 MAX_TITLE_LEN = 160
 
-# Common English abbreviations that do not end a sentence (the SRX English
-# ruleset's main job — rag_engine.rs:1359-1371).
-_ABBREVIATIONS = {
-    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "rev", "hon",
-    "etc", "vs", "v", "e.g", "i.e", "cf", "al", "eq", "fig", "figs",
-    "no", "nos", "vol", "vols", "p", "pp", "ch", "sec", "dept", "est",
-    "inc", "ltd", "co", "corp", "approx", "appt", "apt", "ave", "blvd",
-    "rd", "mt", "ft", "jan", "feb", "mar", "apr", "jun", "jul", "aug",
-    "sep", "sept", "oct", "nov", "dec", "u.s", "u.k", "ph.d", "m.d",
-    "b.a", "m.a", "d.c",
+# English abbreviation handling models the SRX English ruleset's two rule
+# classes (segment.srx:1104-1418, compiled into the reference at
+# rag_engine.rs:1359-1371):
+#   * ALWAYS rules have an empty <afterbreak> — the period never ends a
+#     sentence (titles, months, corporate suffixes, Latin citations,
+#     degrees): "Dec. 12", "Mr. Smith", "Acme Inc. hired".
+#   * SOFT rules carry afterbreak [^\p{Lu}]|I (or \p{N}/roman variants) —
+#     the period is suppressed only before a non-uppercase continuation, a
+#     number, a roman numeral, or the pronoun "I": "Fig. 3" stays joined,
+#     "The min. Temperature rose." splits.
+# The golden suite in tests/test_srx_goldens.py pins ~55 cases extracted
+# from the ruleset.
+_ABBREV_ALWAYS = {
+    # titles (segment.srx "Atty|Sg?t|[SG]en|Ft|Gov|Hon|Prof|Mr?s|Mt|...")
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "rev", "revd",
+    "hon", "atty", "sgt", "sen", "gen", "ft", "gov", "mt", "col", "maj",
+    "lt", "lieut", "brig", "capt", "cmdr", "cmnd", "rep", "drs", "messrs",
+    "mmes",
+    # months ("\bJan\.\s" ... "\bDec\.\s", empty afterbreak)
+    "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept", "oct",
+    "nov", "dec",
+    # Latin / citation ("e\.g\.", "i\.e\.", "vs\.", "cf\.", "et al\.",
+    # "e[sx]p\.", "[Bb]tw\.")
+    "e.g", "i.e", "vs", "v", "cf", "al", "esp", "exp", "btw",
+    # corporate ("I(nc|NC)\.", "Corp\.", "Bros\.", "Dist\.", "Co\.")
+    "inc", "corp", "bros", "dist", "co",
+    # degrees ("P[Hh]\.?\s?[Dd]\.", "(PhD|BSc|BEng|...)\.", "LL\.[BM]\.")
+    "ph.d", "phd", "bsc", "beng", "bcomp", "barch", "msc", "meng",
+    "mcomp", "ll.b", "ll.m", "b.sc", "m.sc", "b.eng", "m.eng", "b.comp",
+    "b.arch", "m.d", "b.a", "m.a",
+    # misc always-safe
+    "u.s", "u.k", "d.c", "p", "pp", "ch", "sec", "dept", "est", "appt",
+    "apt", "rd", "nos",
 }
+_ABBREV_SOFT = {
+    # the big measurement/figure rule (afterbreak [^\p{Lu}]|I) plus the
+    # \p{N}/roman figure rules and \p{Ll}+ street/state rules
+    "fig", "figs", "eq", "eqs", "vol", "vols", "thm", "lem", "prop",
+    "def", "ed", "viz", "approx", "incl", "inc", "acc", "pres", "ex",
+    "conn", "min", "max", "govt", "lb", "lbf", "lbs", "dia", "hr",
+    "maj", "rcol", "msec", "no", "etc", "ave", "blvd", "mts", "kan",
+    "ill", "mass", "miss", "ltd",
+}
+
+# runs of uppercase initials: "J.", "U.S", "L.A", "J.R.R" — never a break
+# (segment.srx "\b\p{Lu}\.\p{Lu}\.\s" and "[^\.]\s[A-Z]\.\s")
+_INITIALS_RE = re.compile(r"^([A-Z]\.)*[A-Z]$")
+_ROMAN_RE = re.compile(r"^[IVXLC]+$")
 
 _HEADING_NUM_RE = re.compile(r"^\d+\.\s")
 
@@ -106,12 +143,26 @@ def is_heading(line: str) -> bool:
     return False
 
 
-def split_sentences(text: str) -> List[str]:
-    """English sentence segmentation (the SRX-ruleset replacement).
+def _next_token(text: str, k: int) -> str:
+    """The word starting at k (letters/digits until space or punct)."""
+    m = k
+    n = len(text)
+    while m < n and (text[m].isalnum() or text[m] in "'-"):
+        m += 1
+    return text[k:m]
 
-    Splits after '.', '!', '?' (plus closing quotes/brackets) when followed
-    by whitespace and an uppercase/digit start, except after known
-    abbreviations, single initials, decimals, and ellipses.
+
+def split_sentences(text: str) -> List[str]:
+    """English sentence segmentation modeling the reference's SRX English
+    ruleset (segment.srx:1104-1418; rule classes documented at
+    _ABBREV_ALWAYS/_ABBREV_SOFT above).
+
+    SRX's catch-all break rules fire after any terminal punctuation run
+    followed by whitespace — including before a lowercase continuation —
+    unless a no-break rule matched first. One deliberate divergence, noted
+    in the golden suite: an ellipsis followed by a lowercase continuation
+    stays joined ("trailed off ... and resumed"), where raw SRX would
+    split; PDF text is full of mid-sentence ellipses.
     """
     out: List[str] = []
     n = len(text)
@@ -119,51 +170,70 @@ def split_sentences(text: str) -> List[str]:
     i = 0
     while i < n:
         ch = text[i]
-        if ch in ".!?":
-            # swallow runs of terminal punctuation and closing marks
-            j = i + 1
-            while j < n and text[j] in ".!?\"'）)]}”’":
-                j += 1
-            # must be followed by whitespace then a plausible sentence start
-            if j >= n:
-                i = j
-                continue
-            if not text[j].isspace():
-                i += 1
-                continue
-            k = j
-            while k < n and text[k].isspace():
-                k += 1
-            if k < n and not (text[k].isupper() or text[k].isdigit() or text[k] in "\"'“‘(["):
-                i += 1
-                continue
-            if ch == ".":
-                # inspect the word preceding the period
-                w_end = i
-                w_start = i - 1
-                while w_start >= 0 and not text[w_start].isspace():
-                    w_start -= 1
-                word = text[w_start + 1 : w_end]
-                wl = word.lower().rstrip(".")
-                wl_last = wl.split(".")[-1] if wl else ""
-                if wl in _ABBREVIATIONS or wl_last in _ABBREVIATIONS:
-                    i += 1
-                    continue
-                # single uppercase initial like "J." in "J. Smith"
-                if len(word) == 1 and word.isupper():
-                    i += 1
-                    continue
-                # decimal number "3.14" — digit on both sides
-                if i + 1 < n and text[i - 1 : i].isdigit() and text[i + 1].isdigit():
-                    i += 1
-                    continue
-            piece = text[start:j].strip()
-            if piece:
-                out.append(piece)
-            start = k
-            i = k
-        else:
+        if ch not in ".!?":
             i += 1
+            continue
+        is_ellipsis = text[i : i + 3] == "..." or ch == "…"
+        # swallow runs of terminal punctuation and closing marks
+        j = i + 1
+        while j < n and text[j] in ".!?…\"'）)]}”’":
+            j += 1
+        if j >= n:
+            i = j
+            continue
+        if not text[j].isspace():
+            # mid-token period: file names, decimals, module paths
+            i = j
+            continue
+        k = j
+        while k < n and text[k].isspace():
+            k += 1
+        if k >= n:
+            i = j
+            continue
+
+        no_break = False
+        nxt = text[k]
+        if ch in "!?":
+            # "Hello (Hi! ) my name is Chris" — paren continuation
+            # (segment.srx "[a-zA-Z][!\?]\s" + "\)\s[a-zA-Z]")
+            if nxt in ")]" :
+                no_break = True
+        elif is_ellipsis:
+            # deliberate divergence (see docstring): "... lowercase" joins
+            if nxt.islower():
+                no_break = True
+        else:
+            # inspect the word preceding the period
+            w_end = i
+            w_start = i - 1
+            while w_start >= 0 and not text[w_start].isspace():
+                w_start -= 1
+            word = text[w_start + 1 : w_end].lstrip("\"'“‘([")
+            wl = word.lower().rstrip(".")
+            if _INITIALS_RE.match(word.rstrip(".")):
+                no_break = True
+            elif wl in _ABBREV_ALWAYS:
+                no_break = True
+            elif wl in _ABBREV_SOFT:
+                # suppressed unless the continuation looks like a fresh
+                # sentence: uppercase word that is neither "I" nor a
+                # roman numeral (afterbreak [^\p{Lu}]|I, \p{N}, [IXV]+)
+                if not nxt.isupper():
+                    no_break = True
+                else:
+                    token = _next_token(text, k)
+                    if token == "I" or _ROMAN_RE.match(token):
+                        no_break = True
+
+        if no_break:
+            i = j
+            continue
+        piece = text[start:j].strip()
+        if piece:
+            out.append(piece)
+        start = k
+        i = k
     tail = text[start:].strip()
     if tail:
         out.append(tail)

@@ -84,11 +84,20 @@ class EmbeddingService:
     def get_embedding(self, text: str) -> np.ndarray:
         return self._model.encode([text])[0]
 
+    def _encode_queries(self, texts: Sequence[str]) -> np.ndarray:
+        """Query-side encoding: models trained with dual task prefixes
+        (nomic-embed-text-class) mark queries differently from documents;
+        models without encode_queries fall back to plain encode."""
+        fn = getattr(self._model, "encode_queries", None)
+        if fn is not None:
+            return fn(list(texts))
+        return self._model.encode(list(texts))
+
     def get_query_embedding(self, text: str) -> np.ndarray:
         cached = self._cache.get(text)
         if cached is not None:
             return cached
-        emb = self.get_embedding(text)
+        emb = self._encode_queries([text])[0]
         self._cache.put(text, emb)
         return emb
 
@@ -99,7 +108,7 @@ class EmbeddingService:
         out: List[Optional[np.ndarray]] = [self._cache.get(t) for t in texts]
         missing = [i for i, e in enumerate(out) if e is None]
         if missing:
-            embs = self.embed_texts([texts[i] for i in missing])
+            embs = self._encode_queries([texts[i] for i in missing])
             for j, i in enumerate(missing):
                 out[i] = embs[j]
                 self._cache.put(texts[i], embs[j])

@@ -226,11 +226,21 @@ class TransformerEncoderModel:
             or default_asset("tokenizer.json")
         )
         self._model_name = model_name
+        # Task prefixes (nomic-embed-text-class dual prompting: queries and
+        # documents are marked so the encoder can separate the two text
+        # registers). Read from checkpoint metadata; empty for config-less
+        # or random-init models.
+        self._query_prefix = ""
+        self._doc_prefix = ""
         if weights_path and os.path.exists(weights_path):
-            self.params, meta_cfg = load_encoder_checkpoint(weights_path)
+            self.params, meta_cfg, meta = load_encoder_checkpoint_full(
+                weights_path
+            )
             # an explicit cfg arg wins; otherwise the checkpoint's embedded
             # config (falling back to defaults for config-less files)
             self.cfg = cfg or meta_cfg or EncoderConfig()
+            self._query_prefix = meta.get("query_prefix", "")
+            self._doc_prefix = meta.get("document_prefix", "")
             logger.info("Loaded encoder weights from %s", weights_path)
         else:
             self.cfg = cfg or EncoderConfig()
@@ -252,10 +262,14 @@ class TransformerEncoderModel:
     def model_name(self) -> str:
         return self._model_name
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        """[n] texts -> [n, dim] f32 unit-normalized embeddings."""
+    def encode(self, texts: Sequence[str], _prefix: Optional[str] = None) -> np.ndarray:
+        """[n] texts -> [n, out_dim] f32 unit-normalized embeddings.
+        Document-side by default (document task prefix when trained)."""
         if not texts:
-            return np.zeros((0, self.cfg.dim), dtype=np.float32)
+            return np.zeros((0, self.cfg.out_dim), dtype=np.float32)
+        prefix = self._doc_prefix if _prefix is None else _prefix
+        if prefix:
+            texts = [prefix + t for t in texts]
         ids, mask = self.tokenizer.encode_batch(texts)
         n = ids.shape[0]
         nb = bucket_batch(n)  # bound compiled batch shapes
@@ -272,7 +286,7 @@ class TransformerEncoderModel:
         return np.asarray(out)[:n]
 
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
-        return self.encode(texts)
+        return self.encode(texts, _prefix=self._query_prefix)
 
 
 def load_safetensors_params(path: str) -> Dict:
@@ -299,14 +313,21 @@ def load_safetensors_params(path: str) -> Dict:
     return params
 
 
-def load_encoder_checkpoint(path: str):
-    """-> (params, EncoderConfig | None): params plus the architecture
-    config embedded in the safetensors metadata by training/ (None for
-    config-less weight files)."""
+def load_encoder_checkpoint_full(path: str):
+    """-> (params, EncoderConfig | None, metadata dict)."""
     from safetensors import safe_open
 
     params = load_safetensors_params(path)
     with safe_open(path, framework="np") as f:
         meta = f.metadata() or {}
     cfg_json = meta.get("encoder_config")
-    return params, (EncoderConfig.from_json(cfg_json) if cfg_json else None)
+    cfg = EncoderConfig.from_json(cfg_json) if cfg_json else None
+    return params, cfg, meta
+
+
+def load_encoder_checkpoint(path: str):
+    """-> (params, EncoderConfig | None): params plus the architecture
+    config embedded in the safetensors metadata by training/ (None for
+    config-less weight files)."""
+    params, cfg, _ = load_encoder_checkpoint_full(path)
+    return params, cfg

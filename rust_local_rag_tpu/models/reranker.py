@@ -53,6 +53,18 @@ class RerankerConfig:
     def head_dim(self) -> int:
         return self.dim // self.heads
 
+    def to_json(self) -> str:
+        import dataclasses
+        import json
+
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "RerankerConfig":
+        import json
+
+        return cls(**json.loads(s))
+
 
 def init_reranker_params(rng: jax.Array, cfg: RerankerConfig) -> Dict:
     keys = jax.random.split(rng, cfg.depth + 3)
@@ -192,20 +204,39 @@ class TransformerReranker:
         weights_path: Optional[str] = None,
         tokenizer_path: Optional[str] = None,
     ):
-        self.cfg = cfg or RerankerConfig()
+        from rust_local_rag_tpu.models.encoder import default_asset
+
         self._model_name = model_name
-        self.tokenizer = load_tokenizer(
-            tokenizer_path, vocab_size=self.cfg.vocab_size, max_len=self.cfg.max_len
+        weights_path = (
+            weights_path
+            or os.environ.get("RERANKER_WEIGHTS")
+            or default_asset("reranker.safetensors")
         )
-        weights_path = weights_path or os.environ.get("RERANKER_WEIGHTS")
         if weights_path and os.path.exists(weights_path):
+            from safetensors import safe_open
+
             from rust_local_rag_tpu.models.encoder import load_safetensors_params
 
             self.params = load_safetensors_params(weights_path)
+            with safe_open(weights_path, framework="np") as f:
+                meta = f.metadata() or {}
+            cfg_json = meta.get("reranker_config")
+            self.cfg = cfg or (
+                RerankerConfig.from_json(cfg_json) if cfg_json else RerankerConfig()
+            )
             logger.info("Loaded reranker weights from %s", weights_path)
         else:
+            self.cfg = cfg or RerankerConfig()
             self.params = init_reranker_params(jax.random.PRNGKey(seed), self.cfg)
             logger.info("Reranker running with seeded random init")
+        tokenizer_path = (
+            tokenizer_path
+            or os.environ.get("TOKENIZER_PATH")
+            or default_asset("tokenizer.json")
+        )
+        self.tokenizer = load_tokenizer(
+            tokenizer_path, vocab_size=self.cfg.vocab_size, max_len=self.cfg.max_len
+        )
         # token ids for the yes/no decision: the first ids at which the two
         # words' tokenizations diverge. Robust to special tokens ([CLS]/
         # [SEP] wrappers are a shared prefix/suffix) AND to multi-piece

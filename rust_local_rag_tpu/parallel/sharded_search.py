@@ -119,7 +119,8 @@ def sharded_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "mesh", "corpus_axis", "with_sims")
+    jax.jit,
+    static_argnames=("k", "mesh", "corpus_axis", "with_sims", "data_axis"),
 )
 def sharded_hybrid_topk(
     queries: jax.Array,      # [Q, D] unit-normalized, replicated
@@ -133,6 +134,7 @@ def sharded_hybrid_topk(
     mesh: Mesh,
     corpus_axis: str = "corpus",
     with_sims: bool = False,
+    data_axis: str | None = None,
 ):
     """Corpus-sharded variant of ops/hybrid.hybrid_topk — same contract,
     exact same results (up to cross-shard tie order).
@@ -240,10 +242,13 @@ def sharded_hybrid_topk(
         ae = jax.lax.all_gather(s_emb, corpus_axis)
         al = jax.lax.all_gather(s_lexn, corpus_axis)
         ai = jax.lax.all_gather(s_idx, corpus_axis)
-        fv = jnp.transpose(av, (1, 0, 2)).reshape(qn, -1)
-        fe = jnp.transpose(ae, (1, 0, 2)).reshape(qn, -1)
-        fl = jnp.transpose(al, (1, 0, 2)).reshape(qn, -1)
-        fi = jnp.transpose(ai, (1, 0, 2)).reshape(qn, -1)
+        # q.shape[0] is the LOCAL query-block size — under a composed
+        # ("data" x corpus) mesh it is Q/dp, NOT the jit-level qn
+        q_n = q.shape[0]
+        fv = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
+        fe = jnp.transpose(ae, (1, 0, 2)).reshape(q_n, -1)
+        fl = jnp.transpose(al, (1, 0, 2)).reshape(q_n, -1)
+        fi = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
 
         kk = min(k, fv.shape[1])
         vals, sel2 = jax.lax.top_k(fv, kk)
@@ -259,11 +264,17 @@ def sharded_hybrid_topk(
         idx = jnp.where(vals == NEG_INF, -1, idx)
         return vals, emb_k, lex_k, idx.astype(jnp.int32)
 
+    # Composed serving mesh: with a second "data" axis, the query batch
+    # (and its per-query lexical hit lists and outputs) shard along it —
+    # DP query replicas x corpus shards in ONE device program. The local
+    # body is unchanged: each device handles its query block over its
+    # corpus rows; the merge all_gather names only the corpus axis.
+    qspec = P(data_axis, None) if data_axis else P()
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(corpus_axis, None), P(corpus_axis), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(qspec, P(corpus_axis, None), P(corpus_axis), qspec, qspec),
+        out_specs=(qspec, qspec, qspec, qspec),
         check_vma=False,
     )
     vals, emb_k, lex_k, idx = fn(
@@ -289,7 +300,8 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "mesh", "corpus_axis", "with_sims")
+    jax.jit,
+    static_argnames=("k", "mesh", "corpus_axis", "with_sims", "data_axis"),
 )
 def sharded_hybrid_topk_quantized(
     queries: jax.Array,      # [Q, D] f32 unit-normalized, replicated
@@ -304,6 +316,7 @@ def sharded_hybrid_topk_quantized(
     mesh: Mesh,
     corpus_axis: str = "corpus",
     with_sims: bool = False,
+    data_axis: str | None = None,
 ):
     """Sharded int8 capacity mode: the 10M-chunks-per-chip slab scales to
     N chips (80M chunks on a v5e-8). Per shard this mirrors
@@ -407,10 +420,13 @@ def sharded_hybrid_topk_quantized(
         ae = jax.lax.all_gather(s_emb, corpus_axis)
         al = jax.lax.all_gather(s_lexn, corpus_axis)
         ai = jax.lax.all_gather(s_idx, corpus_axis)
-        fv = jnp.transpose(av, (1, 0, 2)).reshape(qn, -1)
-        fe = jnp.transpose(ae, (1, 0, 2)).reshape(qn, -1)
-        fl = jnp.transpose(al, (1, 0, 2)).reshape(qn, -1)
-        fi = jnp.transpose(ai, (1, 0, 2)).reshape(qn, -1)
+        # q.shape[0] is the LOCAL query-block size — under a composed
+        # ("data" x corpus) mesh it is Q/dp, NOT the jit-level qn
+        q_n = q.shape[0]
+        fv = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
+        fe = jnp.transpose(ae, (1, 0, 2)).reshape(q_n, -1)
+        fl = jnp.transpose(al, (1, 0, 2)).reshape(q_n, -1)
+        fi = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
         kk = min(k, fv.shape[1])
         vals, sel2 = jax.lax.top_k(fv, kk)
         emb_k = jnp.take_along_axis(fe, sel2, axis=1)
@@ -425,14 +441,16 @@ def sharded_hybrid_topk_quantized(
         idx = jnp.where(vals == NEG_INF, -1, idx)
         return vals, emb_k, lex_k, idx.astype(jnp.int32)
 
+    # composed ("data" x corpus) mesh: query-batch axis shards along data
+    qspec = P(data_axis, None) if data_axis else P()
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P(), P(corpus_axis, None), P(corpus_axis, None),
-            P(corpus_axis), P(), P(),
+            qspec, P(corpus_axis, None), P(corpus_axis, None),
+            P(corpus_axis), qspec, qspec,
         ),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(qspec, qspec, qspec, qspec),
         check_vma=False,
     )
     vals, emb_k, lex_k, idx = fn(

@@ -182,6 +182,15 @@ def graceful_flush(ctx) -> None:
 def main(argv: Optional[list] = None) -> int:
     # .env support (main.rs:142)
     _load_dotenv()
+    # RAG_TPU_PLATFORM=cpu forces the CPU backend (smoke deployments, CI,
+    # or when the TPU is reserved by a training job). Must happen before
+    # the first computation; some PJRT plugins ignore the JAX_PLATFORMS
+    # env var, so this goes through the config API.
+    platform = os.environ.get("RAG_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     setup_logging()
 
     stop_event = threading.Event()

@@ -46,13 +46,17 @@ class SearchBatcher:
         engine,
         engine_lock,
         window_ms: Optional[float] = None,
-        max_batch: int = 16,
+        max_batch: Optional[int] = None,
     ):
         self.engine = engine
         self.engine_lock = engine_lock
         if window_ms is None:
             window_ms = float(os.environ.get("RAG_TPU_BATCH_WINDOW_MS", "3"))
         self.window_s = max(window_ms, 0.0) / 1000.0
+        if max_batch is None:
+            # remote-attached TPUs pay ~50 ms per dispatch; high-QPS
+            # deployments raise this so one dispatch carries more queries
+            max_batch = int(os.environ.get("RAG_TPU_BATCH_MAX", "16"))
         self.max_batch = max_batch
         self._queue: "queue.Queue[_Item]" = queue.Queue()
         self._thread = threading.Thread(

@@ -99,7 +99,10 @@ def normalized_hash(p: str) -> str:
 def _package_root(name: str) -> Optional[str]:
     import importlib.util
 
-    spec = importlib.util.find_spec(name)
+    try:
+        spec = importlib.util.find_spec(name)
+    except (ModuleNotFoundError, ValueError, ImportError):
+        return None
     if spec is None or not spec.submodule_search_locations:
         return None
     return list(spec.submodule_search_locations)[0]

@@ -73,13 +73,21 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--weight-decay", type=float, default=0.01)
     ap.add_argument("--temperature", type=float, default=0.05)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--dim", type=int, default=384)
-    ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--heads", type=int, default=6)
-    ap.add_argument("--ffn", type=int, default=1024)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--ffn", type=int, default=1408)
     ap.add_argument("--out-dim", type=int, default=768)
     ap.add_argument("--out", default=_default_out())
     ap.add_argument("--tokenizer", default=None)
+    ap.add_argument(
+        "--objective",
+        choices=("mixed", "ict", "symmetric"),
+        default="mixed",
+        help="mixed = ICT + lead-to-rest + crop pairs with dual task "
+        "prefixes (default); ict = short query crop vs source passage; "
+        "symmetric = Contriever-style crop pairs",
+    )
     ap.add_argument("--eval-every", type=int, default=1600)
     ap.add_argument("--eval-bank", type=int, default=1024)
     ap.add_argument("--holdout", type=int, default=2048,
@@ -142,10 +150,29 @@ def main(argv: Optional[List[str]] = None) -> None:
     train_pars = [paragraphs[i] for i in order[:-hold_n]]
     held_pars = [paragraphs[i] for i in order[-hold_n:]]
 
-    batcher = PairBatcher(train_pars, tokenizer, seed=args.seed)
-    held = PairBatcher(held_pars, tokenizer, seed=args.seed)
-    bank = held.eval_bank(args.eval_bank)
-    print(f"{len(batcher.docs)} croppable train docs, bank {bank[0].shape[0]}")
+    prefixes = {}
+    if args.objective in ("mixed", "ict"):
+        # dual task prefixes, nomic-embed-text-class; recorded in the
+        # checkpoint metadata so the serving encoder applies them too
+        prefixes = {
+            "query_prefix": "search_query: ",
+            "doc_prefix": "search_document: ",
+        }
+    batcher = PairBatcher(train_pars, tokenizer, seed=args.seed, **prefixes)
+    held = PairBatcher(held_pars, tokenizer, seed=args.seed, **prefixes)
+    if args.objective == "mixed":
+        bank = held.ict_eval_bank(args.eval_bank)
+        make_batches = batcher.mixed_stacked_batches
+    elif args.objective == "ict":
+        bank = held.ict_eval_bank(args.eval_bank)
+        make_batches = batcher.ict_stacked_batches
+    else:
+        bank = held.eval_bank(args.eval_bank)
+        make_batches = batcher.stacked_batches
+    print(
+        f"{len(batcher.docs)} croppable train docs, bank {bank[0].shape[0]} "
+        f"({args.objective})"
+    )
 
     cfg = EncoderConfig(
         vocab_size=tokenizer.vocab_size,
@@ -175,11 +202,22 @@ def main(argv: Optional[List[str]] = None) -> None:
     print(f"step 0: held-out retrieval acc {acc0:.3f} (chance "
           f"{1.0 / bank[0].shape[0]:.4f})")
 
+    from rust_local_rag_tpu.training.pairs import P_LEN
+
     done = 0
+    dispatch = 0
     t0 = time.monotonic()
     while done < args.steps:
         s = min(args.scan, args.steps - done)
-        qi, qm, pi, pm = batcher.stacked_batches(s, args.batch)
+        if args.objective in ("mixed", "ict"):
+            # every 4th dispatch trains the passage side at the serving
+            # bucket (256) so rope/pooling see full-length chunks;
+            # two compiled programs total
+            p_len = 256 if dispatch % 4 == 3 else P_LEN
+            qi, qm, pi, pm = make_batches(s, args.batch, p_len)
+        else:
+            qi, qm, pi, pm = make_batches(s, args.batch)
+        dispatch += 1
         if s < args.scan:  # pad the scan axis to keep one compiled shape
             reps = args.scan - s
             qi = np.concatenate([qi, qi[-1:].repeat(reps, 0)])
@@ -207,6 +245,15 @@ def main(argv: Optional[List[str]] = None) -> None:
             "encoder_config": cfg.to_json(),
             "trained_steps": str(args.steps),
             "train_paragraphs": str(len(train_pars)),
+            "objective": args.objective,
+            **(
+                {
+                    "query_prefix": prefixes["query_prefix"],
+                    "document_prefix": prefixes["doc_prefix"],
+                }
+                if prefixes
+                else {}
+            ),
         },
         half=True,
     )

@@ -193,7 +193,10 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
             key = SETTING_KEYS[state.settings_selected][0]
             err = ctl.settings.set(key, state.settings_edit_buffer)
             state.status_line = err or f"{key} updated (Ctrl-S to save)"
-            state.settings_editing = False
+            # hard validation errors keep the editor open for correction;
+            # warnings were applied (settings.rs Warning semantics)
+            if not err or err.startswith("warning:"):
+                state.settings_editing = False
         elif ch == 27:
             state.settings_editing = False
         elif ch in (curses.KEY_BACKSPACE, 127, 8):
@@ -207,6 +210,28 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
         state.settings_selected = max(0, state.settings_selected - 1)
     elif ch == curses.KEY_DOWN:
         state.settings_selected = min(nrows - 1, state.settings_selected + 1)
+    elif ch in (curses.KEY_LEFT, curses.KEY_RIGHT):
+        # model-discovery dropdown (the reference's Ollama /api/tags
+        # dropdowns, ollama.rs:71-111): cycle locally discovered
+        # checkpoints / hermetic modes for keys that have them
+        from rust_local_rag_tpu.models.discovery import choices_for_key
+
+        key = SETTING_KEYS[state.settings_selected][0]
+        choices = choices_for_key(key)
+        if not choices:
+            state.status_line = f"{key}: no discoverable choices"
+            return
+        current = ctl.settings.get(key)
+        try:
+            pos = choices.index(current)
+        except ValueError:
+            pos = -1
+        step = 1 if ch == curses.KEY_RIGHT else -1
+        nxt = choices[(pos + step) % len(choices)]
+        err = ctl.settings.set(key, nxt)
+        state.status_line = err or (
+            f"{key} = {nxt or '(empty)'} (Ctrl-S to save)"
+        )
     elif ch in (curses.KEY_ENTER, 10, 13):
         key = SETTING_KEYS[state.settings_selected][0]
         state.settings_edit_buffer = ctl.settings.get(key)

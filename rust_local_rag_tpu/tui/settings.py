@@ -10,9 +10,12 @@ from typing import Dict, List, Optional, Tuple
 
 # Editable settings surfaced by the TUI, with validators.
 SETTING_KEYS = [
+    ("RAG_TUI_SERVER_URL", "Server URL (http://host:port)"),
     ("MCP_HTTP_BIND", "Server bind address (host:port)"),
     ("RAG_TPU_EMBEDDING_MODEL", "Embedding model name"),
     ("RAG_TPU_RERANK_MODEL", "Rerank model name (empty disables)"),
+    ("ENCODER_WEIGHTS", "Encoder checkpoint (.safetensors)"),
+    ("RERANKER_WEIGHTS", "Reranker checkpoint (.safetensors)"),
     ("RAG_EMBEDDING_WEIGHT", "Embedding weight (0.0-1.0)"),
     ("RAG_LEXICAL_WEIGHT", "Lexical weight (0.0-1.0)"),
     ("RAG_RERANKER_WEIGHT", "Reranker weight (0.0-1.0)"),
@@ -29,37 +32,78 @@ _WEIGHT_KEYS = {
     "RAG_INITIAL_SCORE_WEIGHT",
 }
 
+_DIR_KEYS = {"DATA_DIR", "DOCUMENTS_DIR"}
+_FILE_KEYS = {"ENCODER_WEIGHTS", "RERANKER_WEIGHTS"}
 
-def validate(key: str, value: str) -> Optional[str]:
-    """Returns an error string, or None when valid."""
+# Validation outcome: None = valid; ("warning", msg) = accepted with a
+# caution; ("error", msg) = rejected. Three-state model mirrors the
+# reference's ValidationState Valid/Warning/Invalid (settings.rs:104-178).
+Verdict = Optional[Tuple[str, str]]
+
+
+def validate(key: str, value: str) -> Verdict:
     if value == "":
         return None  # empty clears the override
     if key in _WEIGHT_KEYS:
+        # settings.rs:153-173: finite f32 in [0, 1]
         try:
             w = float(value)
         except ValueError:
-            return "must be a number"
+            return ("error", "invalid number format")
+        import math
+
+        if not math.isfinite(w):
+            return ("error", "weight must be a finite number (not NaN or Inf)")
         if not (0.0 <= w <= 1.0):
-            return "must be within 0.0-1.0"
+            return ("error", "weight must be between 0.0 and 1.0")
         return None
     if key == "EMBEDDING_BATCH_SIZE":
         try:
             n = int(value)
         except ValueError:
-            return "must be an integer"
+            return ("error", "must be an integer")
         if n < 1:
-            return "must be >= 1"
+            return ("error", "must be >= 1")
         return None
     if key == "MCP_HTTP_BIND":
         host, sep, port = value.rpartition(":")
         if not sep or not host:
-            return "must be host:port"
+            return ("error", "must be host:port")
         try:
             p = int(port)
         except ValueError:
-            return "port must be a number"
+            return ("error", "port must be a number")
         if not (0 < p < 65536):
-            return "port out of range"
+            return ("error", "port out of range")
+        return None
+    if key == "RAG_TUI_SERVER_URL":
+        # settings.rs:107-118 (URL validation for the model-server URL)
+        v = value.strip()
+        if not (v.startswith("http://") or v.startswith("https://")):
+            return ("error", "URL must start with http:// or https://")
+        from urllib.parse import urlparse
+
+        parsed = urlparse(v)
+        if not parsed.netloc:
+            return ("error", "invalid URL format")
+        return None
+    if key in _DIR_KEYS:
+        # settings.rs:121-150 (exists-not-dir invalid; missing -> warning;
+        # unexpandable tilde -> warning)
+        expanded = os.path.expanduser(value.strip())
+        if value.strip().startswith("~") and expanded == value.strip():
+            return ("warning", "tilde (~) may not expand; use absolute path")
+        if os.path.exists(expanded):
+            if not os.path.isdir(expanded):
+                return ("error", "path exists but is not a directory")
+            return None
+        return ("warning", "directory does not exist (will be created)")
+    if key in _FILE_KEYS:
+        expanded = os.path.expanduser(value.strip())
+        if os.path.isdir(expanded):
+            return ("error", "path is a directory, expected a file")
+        if not os.path.exists(expanded):
+            return ("warning", "checkpoint file does not exist")
         return None
     return None
 
@@ -92,13 +136,17 @@ class Settings:
         return self.values.get(key, os.environ.get(key, ""))
 
     def set(self, key: str, value: str) -> Optional[str]:
-        err = validate(key, value)
-        if err:
-            return err
+        """Apply a value. Returns None (ok), a "warning: ..." string (value
+        WAS applied), or an error string (value rejected)."""
+        verdict = validate(key, value)
+        if verdict is not None and verdict[0] == "error":
+            return verdict[1]
         if value == "":
             self.values.pop(key, None)
         else:
             self.values[key] = value
+        if verdict is not None:
+            return f"warning: {verdict[1]}"
         return None
 
     def save(self) -> None:

@@ -200,3 +200,85 @@ def test_result_from_json_optional_fields():
          "yes_logprob": -0.1, "no_logprob": -2.3}
     )
     assert r2.reranker_score == 0.9
+
+
+# ----- settings validation parity (settings.rs:104-178) -----
+
+def test_settings_validation_three_state(tmp_path):
+    from rust_local_rag_tpu.tui.settings import validate
+
+    # weights: finite f32 in [0,1] (settings.rs:153-173)
+    assert validate("RAG_EMBEDDING_WEIGHT", "0.5") is None
+    assert validate("RAG_EMBEDDING_WEIGHT", "nan")[0] == "error"
+    assert validate("RAG_EMBEDDING_WEIGHT", "inf")[0] == "error"
+    assert validate("RAG_EMBEDDING_WEIGHT", "1.5")[0] == "error"
+    assert validate("RAG_EMBEDDING_WEIGHT", "abc")[0] == "error"
+    # URL (settings.rs:107-118)
+    assert validate("RAG_TUI_SERVER_URL", "http://localhost:3046") is None
+    assert validate("RAG_TUI_SERVER_URL", "localhost:3046")[0] == "error"
+    assert validate("RAG_TUI_SERVER_URL", "http://")[0] == "error"
+    # directories (settings.rs:121-150)
+    assert validate("DATA_DIR", str(tmp_path)) is None
+    f = tmp_path / "afile"
+    f.write_text("x")
+    assert validate("DATA_DIR", str(f))[0] == "error"
+    lvl, msg = validate("DATA_DIR", str(tmp_path / "nonexistent"))
+    assert lvl == "warning" and "created" in msg
+    # checkpoint files
+    assert validate("ENCODER_WEIGHTS", str(f)) is None
+    assert validate("ENCODER_WEIGHTS", str(tmp_path))[0] == "error"
+    assert validate("ENCODER_WEIGHTS", str(tmp_path / "nope.st"))[0] == "warning"
+
+
+def test_settings_set_applies_warnings_rejects_errors(tmp_path):
+    from rust_local_rag_tpu.tui.settings import Settings
+
+    s = Settings(path=str(tmp_path / ".env"))
+    assert s.set("RAG_EMBEDDING_WEIGHT", "2.0")  # rejected
+    assert "RAG_EMBEDDING_WEIGHT" not in s.values
+    out = s.set("DATA_DIR", str(tmp_path / "newdir"))
+    assert out.startswith("warning:")
+    assert s.values["DATA_DIR"] == str(tmp_path / "newdir")  # applied
+
+
+# ----- model discovery (the ollama.rs:71-111 analog) -----
+
+def test_model_discovery_lists_assets_and_hermetic(monkeypatch, tmp_path):
+    from rust_local_rag_tpu.models import discovery
+
+    monkeypatch.delenv("RAG_TPU_MODELS_DIR", raising=False)
+    monkeypatch.delenv("ENCODER_WEIGHTS", raising=False)
+    models = discovery.discover_models()
+    names = [m["name"] for m in models["embedding"]]
+    assert "hash-encoder" in names
+    rr = [m["name"] for m in models["rerank"]]
+    assert "fake-rr" in rr and "" in rr  # disabled mode is offered
+
+    # a models dir is scanned and metadata summarized
+    import jax
+    from rust_local_rag_tpu.models.checkpoint import save_params
+    from rust_local_rag_tpu.models.encoder import (
+        EncoderConfig, init_encoder_params,
+    )
+
+    cfg = EncoderConfig(vocab_size=32, dim=8, depth=1, heads=2, ffn_dim=16,
+                        max_len=8, activation_dtype="float32", out_dim=12)
+    p = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "mini.safetensors")
+    save_params(p, path, metadata={"encoder_config": cfg.to_json(),
+                                   "trained_steps": "7"})
+    monkeypatch.setenv("RAG_TPU_MODELS_DIR", str(tmp_path))
+    found = [m for m in discovery.discover_encoder_models()
+             if m["kind"] == "checkpoint" and m["path"] == path]
+    assert found and "1L x 8d -> 12d, 7 steps" == found[0]["detail"]
+
+
+def test_choices_for_key(monkeypatch, tmp_path):
+    from rust_local_rag_tpu.models import discovery
+
+    monkeypatch.delenv("RAG_TPU_MODELS_DIR", raising=False)
+    assert discovery.choices_for_key("DATA_DIR") is None
+    rr = discovery.choices_for_key("RAG_TPU_RERANK_MODEL")
+    assert "fake-rr" in rr and "" in rr
+    enc = discovery.choices_for_key("ENCODER_WEIGHTS")
+    assert enc[-1] == ""  # explicit clear option
