@@ -85,9 +85,11 @@ def test_matches_gold_with_tolerance():
 
 def test_ground_truth_loads():
     queries = load_ground_truth("eval_harness/ground_truth/queries.jsonl")
-    assert len(queries) == 10
+    # reference scale: 45 retrieval + 5 rejection (eval/ground_truth/
+    # queries.jsonl in the reference also holds 50)
+    assert len(queries) == 50
     rejections = [q for q in queries if q.is_rejection]
-    assert len(rejections) == 2
+    assert len(rejections) == 5
     assert all(q.gold_references for q in queries if not q.is_rejection)
 
 
