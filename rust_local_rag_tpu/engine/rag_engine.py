@@ -622,14 +622,18 @@ class RagEngine:
             else self._rejection_threshold
         )
         if thr > 0.0:
-            # absolute dense cosine as confidence: blended scores are
-            # per-query max-normalized so they cannot signal "nothing here"
+            # Confidence = the reranker's absolute yes-probability when the
+            # result was reranked (the trained yes/no judge is calibrated
+            # for exactly this question), else the absolute dense cosine.
+            # Blended scores are per-query max-normalized so they cannot
+            # signal "nothing here".
+            def _confidence(r: SearchResult) -> float:
+                if r.reranker_score is not None:
+                    return r.reranker_score
+                return r.embedding_score or 0.0
+
             outputs = [
-                [
-                    r
-                    for r in out
-                    if (r.embedding_score or 0.0) >= thr
-                ]
+                [r for r in out if _confidence(r) >= thr]
                 for out in outputs
             ]
         if not collect_sims:

@@ -3,14 +3,23 @@
 Teaches the causal decoder (models/reranker.py) to answer the serving
 prompt (reranker_service.DEFAULT_PROMPT_TEMPLATE — same template at
 training and serving) with "yes" for a (query, passage) pair mined from
-the same paragraph and "no" for a mismatched pair. Negatives are 70%
-random passages and 30% lexical hard negatives (a passage sharing a rare
-token with the query — exactly the keyword-trap case the reranker must
-learn to reject; the quality eval is built around such traps).
+the same paragraph and "no" for a mismatched one.
 
-Loss is token cross-entropy on the first yes/no wordpiece at the last
-prompt position — identical read-out to serving
-(reranker.score_prompts -> logprobs[yes_id], logprobs[no_id]).
+Two lessons are baked in from round-2 measurements:
+
+* Negatives must match the serving pool. A v1 classifier trained on
+  mostly-random negatives reached 0.85 held-out accuracy yet DROPPED
+  end-to-end hit@5 from 0.73 to 0.31 — everything the first stage
+  retrieves is "related", so a random-negative classifier saturates and
+  its noise dominates the rerank blend. Negatives here are mined from a
+  BM25 index over the corpus: the top lexical hits for the query that do
+  NOT come from the source paragraph — the keyword-trap case the serving
+  pool is full of.
+* Ranking needs a pairwise objective. Each example scores the positive
+  and the mined negative under the same query, and the loss combines
+  binary CE on each yes/no margin (absolute calibration, same read-out as
+  serving: logits[yes] vs logits[no]) with a pairwise logistic term on
+  the margin DIFFERENCE (ordering).
 """
 
 from __future__ import annotations
@@ -18,7 +27,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from collections import defaultdict
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -33,7 +41,7 @@ def _default_out() -> str:
 
 
 class PromptPairBatcher:
-    """(prompt tokens, yes/no label) batches from a paragraph corpus."""
+    """(positive prompt, mined-negative prompt) pair batches."""
 
     def __init__(
         self,
@@ -42,7 +50,8 @@ class PromptPairBatcher:
         template: str,
         seq_len: int = 192,
         seed: int = 0,
-        hard_negative_frac: float = 0.3,
+        index_size: int = 50000,
+        random_negative_frac: float = 0.2,
     ):
         self.rng = np.random.default_rng(seed)
         self.seq_len = seq_len
@@ -50,19 +59,17 @@ class PromptPairBatcher:
         self.cls_id = self.tk.token_to_id("[CLS]")
         self.sep_id = self.tk.token_to_id("[SEP]")
         self.pad_id = self.tk.token_to_id("[PAD]")
-        self.hard_frac = hard_negative_frac
+        self.random_frac = random_negative_frac
         self.paragraphs = [p for p in paragraphs if len(p.split()) >= 16]
-        # template split once around the placeholders; queries/passages are
-        # plain text so prompts match serving byte-for-byte
         self.template = template
-        # rare-token -> paragraph index, for lexical hard negatives
-        self.tok_index = defaultdict(list)
-        sample = self.rng.permutation(len(self.paragraphs))[:20000]
-        for i in sample:
-            words = set(self.paragraphs[i].lower().split())
-            for w in words:
-                if len(w) >= 7 and w.isalpha():
-                    self.tok_index[w].append(i)
+        # BM25 index over a corpus sample for serving-pool-like negatives
+        from rust_local_rag_tpu.ops.bm25 import LexicalIndex
+
+        self.bm25 = LexicalIndex()
+        sample = self.rng.permutation(len(self.paragraphs))[:index_size]
+        self.indexed = [int(i) for i in sample]
+        for i in self.indexed:
+            self.bm25.add_chunk(str(i), self.paragraphs[i])
 
     def _query_and_passage(self, para: str) -> Tuple[str, str]:
         words = para.split()
@@ -75,48 +82,32 @@ class PromptPairBatcher:
             passage = " ".join(words[:start] + words[start + qlen :])
         return q, passage
 
-    def _hard_negative(self, query: str, avoid: int) -> Optional[str]:
-        for w in sorted(query.lower().split(), key=len, reverse=True):
-            cands = self.tok_index.get(w)
-            if cands:
-                j = cands[int(self.rng.integers(0, len(cands)))]
-                if j != avoid:
-                    return self.paragraphs[j]
-        return None
-
-    def batch(self, batch_size: int):
-        """-> (ids [B, L], mask [B, L], labels [B] 1=yes/0=no)."""
-        prompts: List[str] = []
-        labels = np.zeros((batch_size,), dtype=np.int32)
+    def _mined_negative(self, query: str, avoid: int) -> str:
+        """Top BM25 hit for the query that is not the source paragraph —
+        the lexically-attractive wrong answer the reranker must demote."""
         n = len(self.paragraphs)
-        for b in range(batch_size):
-            i = int(self.rng.integers(0, n))
-            q, passage = self._query_and_passage(self.paragraphs[i])
-            positive = self.rng.random() < 0.5
-            if positive:
-                text = passage
-                labels[b] = 1
-            else:
-                text = None
-                if self.rng.random() < self.hard_frac:
-                    text = self._hard_negative(q, i)
-                if text is None:
-                    j = int(self.rng.integers(0, n))
-                    if j == i:
-                        j = (j + 1) % n
-                    text = self.paragraphs[j]
-            prompts.append(
-                self.template.format(
-                    query=q,
-                    document="corpus.pdf",
-                    page="1",
-                    section="N/A",
-                    text=text,
-                )
-            )
+        if self.rng.random() > self.random_frac:
+            hits = self.bm25.score(query, 4)
+            cands = [int(c) for c, _ in hits if int(c) != avoid]
+            if cands:
+                return self.paragraphs[
+                    cands[int(self.rng.integers(0, len(cands)))]
+                ]
+        j = int(self.rng.integers(0, n))
+        if j == avoid:
+            j = (j + 1) % n
+        return self.paragraphs[j]
+
+    def _prompt(self, q: str, text: str) -> str:
+        return self.template.format(
+            query=q, document="corpus.pdf", page="1", section="N/A", text=text
+        )
+
+    def _encode(self, prompts: List[str]):
         encs = self.tk.encode_batch(prompts)
-        ids = np.full((batch_size, self.seq_len), self.pad_id, dtype=np.int32)
-        mask = np.zeros((batch_size, self.seq_len), dtype=np.int32)
+        B = len(prompts)
+        ids = np.full((B, self.seq_len), self.pad_id, dtype=np.int32)
+        mask = np.zeros((B, self.seq_len), dtype=np.int32)
         for b, e in enumerate(encs):
             row = e.ids[: self.seq_len]
             # keep the prompt TAIL when truncating: the yes/no question and
@@ -127,16 +118,28 @@ class PromptPairBatcher:
                 ]
             ids[b, : len(row)] = row
             mask[b, : len(row)] = 1
-        return ids, mask, labels
+        return ids, mask
+
+    def batch(self, batch_size: int):
+        """-> (pos_ids, pos_mask, neg_ids, neg_mask), each [B, L]: the SAME
+        query against its source passage and a mined negative."""
+        pos_prompts, neg_prompts = [], []
+        n = len(self.paragraphs)
+        for _ in range(batch_size):
+            i = int(self.rng.integers(0, n))
+            q, passage = self._query_and_passage(self.paragraphs[i])
+            pos_prompts.append(self._prompt(q, passage))
+            neg_prompts.append(self._prompt(q, self._mined_negative(q, i)))
+        pi, pm = self._encode(pos_prompts)
+        ni, nm = self._encode(neg_prompts)
+        return pi, pm, ni, nm
 
     def stacked(self, n_steps: int, batch_size: int):
-        a, m, l = [], [], []
+        cols = [[], [], [], []]
         for _ in range(n_steps):
-            x, y, z = self.batch(batch_size)
-            a.append(x)
-            m.append(y)
-            l.append(z)
-        return np.stack(a), np.stack(m), np.stack(l)
+            for c, arr in zip(cols, self.batch(batch_size)):
+                c.append(arr)
+        return tuple(np.stack(c) for c in cols)
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -213,9 +216,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     held = PromptPairBatcher(
         held_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
-        seq_len=args.seq_len, seed=args.seed + 1,
+        seq_len=args.seq_len, seed=args.seed + 1, index_size=10000,
     )
-    eval_ids, eval_mask, eval_labels = held.batch(512)
+    eval_pi, eval_pm, eval_ni, eval_nm = held.batch(512)
 
     cfg = RerankerConfig(
         vocab_size=tokenizer.vocab_size,
@@ -242,48 +245,58 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     opt_state = tx.init(params)
 
-    def loss_fn(params, ids, mask, labels):
+    def _margins(params, ids, mask):
         logits = reranker_forward_last_logits(params, ids, mask, cfg)
-        targets = jnp.where(labels == 1, yes_id, no_id)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
-        return jnp.mean(nll)
+        return logits[:, yes_id] - logits[:, no_id]
+
+    def loss_fn(params, pi, pm, ni, nm):
+        mp = _margins(params, pi, pm)
+        mn = _margins(params, ni, nm)
+        pairwise = -jax.nn.log_sigmoid(mp - mn)       # ordering
+        cal = -jax.nn.log_sigmoid(mp) - jax.nn.log_sigmoid(-mn)  # calibration
+        return jnp.mean(pairwise) + 0.5 * jnp.mean(cal)
 
     def one_step(carry, xs):
         params, opt_state = carry
-        ids, mask, labels = xs
-        loss, grads = jax.value_and_grad(loss_fn)(params, ids, mask, labels)
+        pi, pm, ni, nm = xs
+        loss, grads = jax.value_and_grad(loss_fn)(params, pi, pm, ni, nm)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
     @jax.jit
-    def scan_step(params, opt_state, ids, mask, labels):
+    def scan_step(params, opt_state, pi, pm, ni, nm):
         (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), (ids, mask, labels)
+            one_step, (params, opt_state), (pi, pm, ni, nm)
         )
         return params, opt_state, jnp.mean(losses)
 
     @jax.jit
-    def eval_acc(params, ids, mask, labels):
-        logits = reranker_forward_last_logits(params, ids, mask, cfg)
-        pred_yes = logits[:, yes_id] > logits[:, no_id]
-        return jnp.mean((pred_yes == (labels == 1)).astype(jnp.float32))
+    def eval_metrics(params, pi, pm, ni, nm):
+        mp = _margins(params, pi, pm)
+        mn = _margins(params, ni, nm)
+        pair_acc = jnp.mean((mp > mn).astype(jnp.float32))
+        cls_acc = 0.5 * (
+            jnp.mean((mp > 0).astype(jnp.float32))
+            + jnp.mean((mn < 0).astype(jnp.float32))
+        )
+        return pair_acc, cls_acc
 
-    acc = float(eval_acc(params, eval_ids, eval_mask, eval_labels))
-    print(f"step 0: held-out yes/no accuracy {acc:.3f}")
+    pa, ca = eval_metrics(params, eval_pi, eval_pm, eval_ni, eval_nm)
+    print(f"step 0: held-out pair acc {float(pa):.3f} cls acc {float(ca):.3f}")
 
     done = 0
     t0 = time.monotonic()
     while done < args.steps:
         s = min(args.scan, args.steps - done)
-        ids, mask, labels = batcher.stacked(s, args.batch)
+        pi, pm, ni, nm = batcher.stacked(s, args.batch)
         if s < args.scan:
             reps = args.scan - s
-            ids = np.concatenate([ids, ids[-1:].repeat(reps, 0)])
-            mask = np.concatenate([mask, mask[-1:].repeat(reps, 0)])
-            labels = np.concatenate([labels, labels[-1:].repeat(reps, 0)])
-        params, opt_state, loss = scan_step(params, opt_state, ids, mask, labels)
+            pi, pm, ni, nm = (
+                np.concatenate([x, x[-1:].repeat(reps, 0)])
+                for x in (pi, pm, ni, nm)
+            )
+        params, opt_state, loss = scan_step(params, opt_state, pi, pm, ni, nm)
         done += args.scan
         if done % max(args.scan * 4, 64) == 0 or done >= args.steps:
             dt = time.monotonic() - t0
@@ -293,8 +306,12 @@ def main(argv: Optional[List[str]] = None) -> None:
                 flush=True,
             )
         if args.eval_every and (done % args.eval_every == 0 or done >= args.steps):
-            acc = float(eval_acc(params, eval_ids, eval_mask, eval_labels))
-            print(f"step {done}: held-out yes/no accuracy {acc:.3f}", flush=True)
+            pa, ca = eval_metrics(params, eval_pi, eval_pm, eval_ni, eval_nm)
+            print(
+                f"step {done}: held-out pair acc {float(pa):.3f} "
+                f"cls acc {float(ca):.3f}",
+                flush=True,
+            )
 
     save_params(
         jax.device_get(params),

@@ -1,0 +1,120 @@
+"""One-shot quality evaluation: corpus -> live server -> all three configs.
+
+Boots the real server (trained assets; FakeReranker unless the trained
+reranker asset exists), indexes the authored eval corpus, runs baseline /
+embedding_only / bm25_only, and writes reports into eval_harness/reports/.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_eval.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def main() -> int:
+    import requests
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = tempfile.mkdtemp(prefix="quality_eval_")
+    docs = os.path.join(work, "documents")
+    data = os.path.join(work, "data")
+    logs = os.path.join(work, "logs")
+    for d in (docs, data, logs):
+        os.makedirs(d)
+
+    from eval_harness.corpus import generate_corpus, generate_ground_truth
+
+    names = generate_corpus(docs)
+    gt = os.path.join(work, "queries.jsonl")
+    nq = generate_ground_truth(gt)
+    print(f"{len(names)} PDFs, {nq} queries -> {work}")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        DATA_DIR=data,
+        DOCUMENTS_DIR=docs,
+        LOG_DIR=logs,
+        MCP_HTTP_BIND=f"127.0.0.1:{port}",
+        DEV="1",
+    )
+    has_rr = os.path.exists(
+        os.path.join(repo, "rust_local_rag_tpu", "assets", "reranker.safetensors")
+    )
+    if has_rr:
+        # reranking is opt-in via the model-name env (reference contract:
+        # empty OLLAMA_RERANK_MODEL disables); the trained asset loads
+        # automatically once a name is set
+        env.update(RAG_TPU_RERANK_MODEL="tpu-reranker")
+    else:
+        env.update(RAG_TPU_RERANK_MODEL="fake-rr", RAG_TPU_FAKE_RERANKER="1")
+    base = f"http://127.0.0.1:{port}"
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "rust_local_rag_tpu"],
+        env=env,
+        cwd=repo,
+        stdout=open(os.path.join(work, "server.out"), "w"),
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        for _ in range(240):
+            try:
+                if requests.get(f"{base}/readyz", timeout=3).status_code == 200:
+                    break
+            except requests.RequestException:
+                pass
+            time.sleep(2)
+        else:
+            raise RuntimeError("server never became ready")
+        print("server ready; indexing...")
+        requests.post(f"{base}/reindex", timeout=10)
+        for _ in range(600):
+            j = requests.get(f"{base}/jobs/active", timeout=10).json()
+            if j is None:
+                break
+            time.sleep(3)
+        stats = requests.get(f"{base}/stats", timeout=10).json()
+        print("stats:", stats)
+
+        from eval_harness.run import main as eval_main
+
+        out_dir = os.path.join(repo, "eval_harness", "reports")
+        results = {}
+        for cfg in ("baseline", "embedding_only", "bm25_only"):
+            code = eval_main(
+                [
+                    "evaluate",
+                    "--config", f"eval_harness/configs/{cfg}.yaml",
+                    "--endpoint", base,
+                    "--ground-truth", gt,
+                    "--out", out_dir,
+                ]
+            )
+            results[cfg] = "PASS" if code == 0 else "FAIL"
+        print(json.dumps(results))
+        return 0
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -168,3 +168,110 @@ def test_tokenizer_asset_contract():
         "Sparse matrices reduce memory usage when most entries are zero."
     )
     assert unk not in ids
+
+
+@needs_tokenizer
+def test_prefixed_checkpoint_routes_queries_and_docs(tmp_path):
+    """A checkpoint trained with dual task prefixes makes encode() and
+    encode_queries() produce different embeddings for the same text, and
+    the EmbeddingService routes query paths through encode_queries."""
+    from rust_local_rag_tpu.models.embedding_service import EmbeddingService
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+
+    cfg = EncoderConfig(
+        vocab_size=HfTokenizer(ASSET_TOK).vocab_size, dim=16, depth=1,
+        heads=2, ffn_dim=32, max_len=64, activation_dtype="float32",
+        out_dim=16,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path / "pref.safetensors")
+    save_params(
+        params, path,
+        metadata={
+            "encoder_config": cfg.to_json(),
+            "query_prefix": "search_query: ",
+            "document_prefix": "search_document: ",
+        },
+    )
+    m = TransformerEncoderModel(weights_path=path, tokenizer_path=ASSET_TOK)
+    d = m.encode(["the gradient accumulates"])
+    q = m.encode_queries(["the gradient accumulates"])
+    assert not np.allclose(d, q)
+    svc = EmbeddingService(m)
+    qq = svc.get_query_embeddings(["the gradient accumulates"])
+    np.testing.assert_allclose(qq[0], q[0], rtol=1e-5)
+    dd = svc.embed_texts(["the gradient accumulates"])
+    np.testing.assert_allclose(dd[0], d[0], rtol=1e-5)
+
+
+@needs_tokenizer
+def test_mixed_batcher_prefixes():
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.training.pairs import PairBatcher
+
+    pars = [
+        "The scheduler assigns work to replicas and collects ordered "
+        "partial results into one output stream that consumers read with "
+        "bounded memory and no cross-worker coordination at all."
+    ] * 8
+    b = PairBatcher(
+        pars, HfTokenizer(ASSET_TOK), seed=0,
+        query_prefix="search_query: ", doc_prefix="search_document: ",
+    )
+    q_ids, q_mask, p_ids, p_mask = b.mixed_batch(6, p_len=64)
+    assert q_ids.shape == (6, 32) and p_ids.shape == (6, 64)
+    # every query row begins [CLS] + query-prefix ids
+    for i in range(6):
+        assert q_ids[i, 0] == b.cls_id
+        np.testing.assert_array_equal(
+            q_ids[i, 1 : 1 + len(b.q_prefix)], b.q_prefix
+        )
+        np.testing.assert_array_equal(
+            p_ids[i, 1 : 1 + len(b.d_prefix)], b.d_prefix
+        )
+
+
+@needs_tokenizer
+def test_reranker_checkpoint_config_roundtrip(tmp_path):
+    from rust_local_rag_tpu.models.reranker import (
+        RerankerConfig,
+        TransformerReranker,
+        init_reranker_params,
+    )
+
+    cfg = RerankerConfig(
+        vocab_size=8193, dim=16, depth=1, heads=2, ffn_dim=32, max_len=64,
+        activation_dtype="float32",
+    )
+    params = init_reranker_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "rr.safetensors")
+    save_params(params, path, metadata={"reranker_config": cfg.to_json()})
+    rr = TransformerReranker(weights_path=path, tokenizer_path=ASSET_TOK)
+    assert rr.cfg == cfg
+    out = rr.score_prompts(["Query: a\nChunk:\nb\nAnswer:"])
+    assert len(out) == 1 and 0.0 <= out[0][0] <= 1.0
+
+
+@needs_tokenizer
+def test_reranker_prompt_pair_batcher():
+    from rust_local_rag_tpu.models.reranker_service import (
+        DEFAULT_PROMPT_TEMPLATE,
+    )
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.training.train_reranker import PromptPairBatcher
+
+    pars = [
+        f"Paragraph {i}: exceptional vocabulary item qqzzword{i} appears "
+        "here with enough surrounding words to pass the minimum length "
+        "filter for prompt pair construction in training."
+        for i in range(20)
+    ]
+    b = PromptPairBatcher(
+        pars, HfTokenizer(ASSET_TOK), DEFAULT_PROMPT_TEMPLATE,
+        seq_len=128, seed=0, index_size=20,
+    )
+    pi, pm, ni, nm = b.batch(8)
+    assert pi.shape == (8, 128) and ni.shape == (8, 128)
+    assert pm.sum() > 0 and nm.sum() > 0
+    # positive and negative prompts differ (different chunk text)
+    assert (pi != ni).any()
