@@ -126,12 +126,25 @@ def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def encoder_forward(
-    params: Dict, ids: jax.Array, mask: jax.Array, cfg: EncoderConfig
+    params: Dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg: EncoderConfig,
+    fused_attn: Optional[bool] = None,
 ) -> jax.Array:
-    """[B, L] ids + mask -> [B, dim] L2-normalized f32 embeddings."""
+    """[B, L] ids + mask -> [B, dim] L2-normalized f32 embeddings.
+
+    fused_attn: use the Pallas fused-attention kernel (ops/attention.py),
+    which keeps the [B, H, L, L] score tensor out of HBM. Defaults to on
+    for inference; training passes False (pallas_call has no VJP here).
+    """
     act_dtype = jnp.dtype(cfg.activation_dtype)
     B, L = ids.shape
     H, Dh = cfg.heads, cfg.head_dim
+    if fused_attn is None:
+        from rust_local_rag_tpu.ops.attention import use_fused_attention
+
+        fused_attn = use_fused_attention()
 
     x = params["embed"][ids].astype(act_dtype)  # [B, L, D]
     cos, sin = _rope(cfg, L)
@@ -149,13 +162,23 @@ def encoder_forward(
         v = v.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
-        scores = (
-            jnp.einsum("bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32)
-            / np.sqrt(Dh)
-            + attn_bias
-        )
-        probs = jax.nn.softmax(scores, axis=-1).astype(act_dtype)
-        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
+        if fused_attn:
+            from rust_local_rag_tpu.ops.attention import fused_attention
+
+            ctx = fused_attention(
+                q.astype(act_dtype), k.astype(act_dtype), v, mask
+            )
+        else:
+            scores = (
+                jnp.einsum(
+                    "bhld,bhmd->bhlm", q, k,
+                    preferred_element_type=jnp.float32,
+                )
+                / np.sqrt(Dh)
+                + attn_bias
+            )
+            probs = jax.nn.softmax(scores, axis=-1).astype(act_dtype)
+            ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.dim)
         x = x + jnp.einsum("bld,de->ble", ctx, layer["wo"].astype(act_dtype))
 

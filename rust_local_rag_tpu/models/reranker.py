@@ -119,13 +119,24 @@ def _apply_rope(x, cos, sin):
 
 
 def reranker_forward_last_logits(
-    params: Dict, ids: jax.Array, mask: jax.Array, cfg: RerankerConfig
+    params: Dict,
+    ids: jax.Array,
+    mask: jax.Array,
+    cfg: RerankerConfig,
+    fused_attn: Optional[bool] = None,
 ) -> jax.Array:
     """Causal decoder forward; returns f32 logits at each sequence's last
-    valid position: [B, vocab]."""
+    valid position: [B, vocab].
+
+    fused_attn: Pallas fused attention (ops/attention.py, causal variant) —
+    on by default for inference; training passes False (no VJP)."""
     act_dtype = jnp.dtype(cfg.activation_dtype)
     B, L = ids.shape
     H, Dh = cfg.heads, cfg.head_dim
+    if fused_attn is None:
+        from rust_local_rag_tpu.ops.attention import use_fused_attention
+
+        fused_attn = use_fused_attention()
 
     x = params["embed"][ids].astype(act_dtype)
     cos, sin = _rope_tables(cfg, L)
@@ -146,13 +157,24 @@ def reranker_forward_last_logits(
         v = v.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
-        scores = (
-            jnp.einsum("bhld,bhmd->bhlm", q, k, preferred_element_type=jnp.float32)
-            / math.sqrt(Dh)
-            + bias
-        )
-        probs = jax.nn.softmax(scores, axis=-1).astype(act_dtype)
-        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
+        if fused_attn:
+            from rust_local_rag_tpu.ops.attention import fused_attention
+
+            ctx = fused_attention(
+                q.astype(act_dtype), k.astype(act_dtype), v, mask,
+                causal=True,
+            )
+        else:
+            scores = (
+                jnp.einsum(
+                    "bhld,bhmd->bhlm", q, k,
+                    preferred_element_type=jnp.float32,
+                )
+                / math.sqrt(Dh)
+                + bias
+            )
+            probs = jax.nn.softmax(scores, axis=-1).astype(act_dtype)
+            ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.dim)
         x = x + jnp.einsum("bld,de->ble", ctx, layer["wo"].astype(act_dtype))
 

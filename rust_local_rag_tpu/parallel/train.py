@@ -71,8 +71,9 @@ def info_nce_loss(
     temperature: float = 0.05,
 ) -> jax.Array:
     """Symmetric InfoNCE with in-batch negatives."""
-    q = encoder_forward(params, q_ids, q_mask, cfg)  # [B, D], unit norm
-    p = encoder_forward(params, p_ids, p_mask, cfg)
+    # differentiable XLA attention path: the Pallas fused kernel has no VJP
+    q = encoder_forward(params, q_ids, q_mask, cfg, fused_attn=False)
+    p = encoder_forward(params, p_ids, p_mask, cfg, fused_attn=False)
     logits = (
         jnp.einsum("bd,cd->bc", q, p, preferred_element_type=jnp.float32)
         / temperature

@@ -62,14 +62,59 @@ class PromptPairBatcher:
         self.random_frac = random_negative_frac
         self.paragraphs = [p for p in paragraphs if len(p.split()) >= 16]
         self.template = template
-        # BM25 index over a corpus sample for serving-pool-like negatives
-        from rust_local_rag_tpu.ops.bm25 import LexicalIndex
+        # BM25 index over a corpus sample for serving-pool-like negatives.
+        # Live per-example scoring is far too slow (a Python BM25 query is
+        # ~60 ms; 6k steps x 256 pairs would take >24 h of host time), so
+        # neighbors are PRE-MINED here once: each paragraph gets the top
+        # lexical hits for a canonical query crop drawn from the same
+        # distribution the trainer samples live. The live crop differs from
+        # the mining crop, but the neighbor is still the keyword-trap case —
+        # crops share the paragraph's vocabulary.
+        from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
 
-        self.bm25 = LexicalIndex()
+        bm25 = make_lexical_index()
         sample = self.rng.permutation(len(self.paragraphs))[:index_size]
         self.indexed = [int(i) for i in sample]
         for i in self.indexed:
-            self.bm25.add_chunk(str(i), self.paragraphs[i])
+            bm25.add_chunk(str(i), self.paragraphs[i])
+        self.neighbors = self._premine(bm25)
+
+    def _premine(self, bm25, n_neighbors: int = 4, threads: int = 8):
+        """[P, n_neighbors] int32 neighbor table; -1 = no mined hit.
+
+        Threaded: the native BM25 score path releases the GIL inside the
+        C call and is read-only on the index (native/lexical.cpp
+        score_tokens builds only kernel-local state).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self.paragraphs)
+        out = np.full((n, n_neighbors), -1, dtype=np.int32)
+        crop_rng = np.random.default_rng(self.rng.integers(2**31))
+        crops = []
+        for p in self.paragraphs:
+            words = p.split()
+            qlen = int(crop_rng.integers(3, 13))
+            start = int(crop_rng.integers(0, max(len(words) - qlen, 1)))
+            crops.append(" ".join(words[start : start + qlen]))
+
+        def mine(span):
+            lo, hi = span
+            for i in range(lo, hi):
+                hits = bm25.score(crops[i], n_neighbors + 1)
+                cands = [int(c) for c, _ in hits if int(c) != i]
+                out[i, : len(cands[:n_neighbors])] = cands[:n_neighbors]
+
+        step = (n + threads - 1) // threads
+        spans = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(mine, spans))
+        print(
+            f"pre-mined {n} paragraphs x {n_neighbors} BM25 negatives "
+            f"in {time.monotonic() - t0:.1f}s"
+        )
+        return out
 
     def _query_and_passage(self, para: str) -> Tuple[str, str]:
         words = para.split()
@@ -83,15 +128,15 @@ class PromptPairBatcher:
         return q, passage
 
     def _mined_negative(self, query: str, avoid: int) -> str:
-        """Top BM25 hit for the query that is not the source paragraph —
-        the lexically-attractive wrong answer the reranker must demote."""
+        """Pre-mined BM25 neighbor of the source paragraph — the
+        lexically-attractive wrong answer the reranker must demote."""
         n = len(self.paragraphs)
         if self.rng.random() > self.random_frac:
-            hits = self.bm25.score(query, 4)
-            cands = [int(c) for c, _ in hits if int(c) != avoid]
-            if cands:
+            row = self.neighbors[avoid]
+            cands = row[(row >= 0) & (row != avoid)]
+            if cands.size:
                 return self.paragraphs[
-                    cands[int(self.rng.integers(0, len(cands)))]
+                    int(cands[int(self.rng.integers(0, cands.size))])
                 ]
         j = int(self.rng.integers(0, n))
         if j == avoid:
@@ -246,7 +291,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     opt_state = tx.init(params)
 
     def _margins(params, ids, mask):
-        logits = reranker_forward_last_logits(params, ids, mask, cfg)
+        # differentiable XLA attention (the Pallas fused kernel has no VJP)
+        logits = reranker_forward_last_logits(
+            params, ids, mask, cfg, fused_attn=False
+        )
         return logits[:, yes_id] - logits[:, no_id]
 
     def loss_fn(params, pi, pm, ni, nm):
