@@ -8,9 +8,16 @@ softmax and again for the PV matmul — at the production bucket
 (B=256, H=8, L=256) that is ~1.9 GB of HBM round trips per layer, ~11 GB
 per 6-layer forward, which caps ingest at ~30% MXU utilization. The whole
 retrieval encoder is non-causal with short buckets (L <= 512), so the full
-[L, L] score tile for one (batch, head) fits VMEM comfortably: this kernel
-computes scores, softmax, and the PV product per (batch-block, head)
-entirely on-chip and writes only the [B, H, L, Dh] context back.
+[L, L] score tile for a (batch, head) block fits VMEM: this kernel computes
+scores, softmax, and the PV product per (batch-block, head-block) entirely
+on-chip and writes only the [B, H, L, Dh] context back.
+
+Kernel shape: one grid step handles a [bb, hb, L, Dh] q/k/v block folded to
+a single BATCHED dot_general over bb*hb (a per-(row, head) Python loop of
+[L, Dh] dots serializes 2*bb*H tiny MXU ops per step and measured ~1.6x
+SLOWER than XLA; the batched form is one MXU stream). bb/hb are chosen to
+keep the f32 score tile + bf16 probs + double-buffered blocks under the
+VMEM budget.
 
 Exact one-shot softmax (max-subtracted, f32) — not an online/streaming
 approximation; results match the XLA reference path to bf16 rounding
@@ -34,55 +41,64 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9  # finite mask bias: keeps softmax well-defined for padded rows
 
 
-def _make_kernel(bb: int, heads: int, causal: bool, scale: float):
+def _make_kernel(bb: int, hb: int, causal: bool, scale: float):
     def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
-        # blocks: q/k/v/o [bb, H, L, Dh] bf16; m [1, bb, L] f32 — the mask
-        # arrives reshaped to [B/bb, bb, L] so its block's trailing dims
-        # equal the array dims (a raw [bb, L] block would violate the
+        # blocks: q/k/v/o [bb, hb, L, Dh] bf16; m [1, bb, L] f32 (1 = valid;
+        # reshaped to [B/bb, bb, L] outside so the block's trailing dims
+        # equal the array dims — a raw [bb, L] block would violate the
         # (8, 128) tile minimum for small bb).
-        L = q_ref.shape[2]
-        bias_rows = jnp.where(
-            m_ref[0] > 0.5, 0.0, jnp.float32(NEG)
-        )  # [bb, L]: 0 valid, NEG pad
+        L, Dh = q_ref.shape[2], q_ref.shape[3]
+        bias = jnp.where(m_ref[0] > 0.5, 0.0, jnp.float32(NEG))  # [bb, L]
+        # [bb, L] -> [bb*hb, 1, L] key-side bias, head-major repeat
+        bias = jnp.repeat(bias, hb, axis=0)[:, None, :]
         if causal:
             li = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
             lj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-            causal_bias = jnp.where(lj > li, jnp.float32(NEG), 0.0)
-        for b in range(bb):
-            bias = bias_rows[b][None, :]  # [1, L] key-side padding
-            if causal:
-                bias = bias + causal_bias
-            for h in range(heads):
-                s = jax.lax.dot_general(
-                    q_ref[b, h],
-                    k_ref[b, h],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                s = s * scale + bias
-                s = s - jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                o_ref[b, h] = jax.lax.dot_general(
-                    p.astype(q_ref.dtype),
-                    v_ref[b, h],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(o_ref.dtype)
+            bias = bias + jnp.where(lj > li, jnp.float32(NEG), 0.0)[None]
+        q = q_ref[:].reshape(bb * hb, L, Dh)
+        k = k_ref[:].reshape(bb * hb, L, Dh)
+        v = v_ref[:].reshape(bb * hb, L, Dh)
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb*hb, L, L]
+        s = s * scale + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        ctx = jax.lax.dot_general(
+            p.astype(q_ref.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [bb*hb, L, Dh]
+        o_ref[:] = ctx.reshape(bb, hb, L, Dh).astype(o_ref.dtype)
 
     return kernel
 
 
-def _batch_block(b: int, heads: int, seq: int, head_dim: int) -> int:
-    """Largest batch block whose VMEM footprint stays ~<= 8 MB (q/k/v/o
-    double-buffered by the pipeline + one f32 [L, L] score tile)."""
-    per_row = 4 * heads * seq * head_dim * 2  # q,k,v,o bf16
-    budget = 8 * 1024 * 1024 - 4 * seq * seq
-    bb = max(1, budget // max(per_row * 2, 1))
-    for cand in (16, 8, 4, 2, 1):
-        if cand <= bb and b % cand == 0:
-            return cand
-    return 1
+def _pick_blocks(b: int, h: int, l: int, dh: int) -> tuple[int, int]:
+    """(batch-block, head-block) under a ~10 MB VMEM budget: double-buffered
+    q/k/v/o blocks + the f32 score tile + bf16 probs."""
+    budget = 10 * 1024 * 1024
+
+    def cost(bb: int, hb: int) -> int:
+        blocks = 2 * 4 * bb * hb * l * dh * 2  # qkvo, double-buffered, bf16
+        interm = bb * hb * l * l * (4 + 2)  # f32 scores + bf16 probs
+        return blocks + interm
+
+    hb = h
+    while hb > 1 and cost(1, hb) > budget:
+        # largest head divisor under budget
+        hb = next(c for c in range(hb - 1, 0, -1) if h % c == 0)
+    bb = 1
+    for cand in (16, 8, 4, 2):
+        if b % cand == 0 and cost(cand, hb) <= budget:
+            bb = cand
+            break
+    return bb, hb
 
 
 @functools.partial(jax.jit, static_argnames=("causal",))
@@ -102,21 +118,21 @@ def fused_attention(
     """
     b, h, l, dh = q.shape
     scale = 1.0 / (dh**0.5)
-    bb = _batch_block(b, h, l, dh)
-    grid = (b // bb,)
+    bb, hb = _pick_blocks(b, h, l, dh)
+    grid = (b // bb, h // hb)
     m01 = mask.astype(jnp.float32).reshape(b // bb, bb, l)
     qkv_spec = pl.BlockSpec(
-        (bb, h, l, dh), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (bb, hb, l, dh), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _make_kernel(bb, h, causal, scale),
+        _make_kernel(bb, hb, causal, scale),
         grid=grid,
         in_specs=[
             qkv_spec,
             qkv_spec,
             qkv_spec,
             pl.BlockSpec(
-                (1, bb, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, bb, l), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=qkv_spec,
@@ -132,8 +148,12 @@ def fused_attention(
 
 
 def use_fused_attention() -> bool:
-    """Opt-in (RAG_TPU_FUSED_ATTN=1): measured on v5e the first-cut kernel
-    underperforms the XLA path (50.8 vs 32.6 ms/256x256 encoder batch — the
-    per-(row, head) unrolled loop serializes 32 small MXU dots per grid
-    step); default stays off until the batched-dot redesign wins."""
+    """Opt-in (RAG_TPU_FUSED_ATTN=1). Measured on v5e at the ingest bucket
+    (256x256, 6L x 512d, Dh=64): attention-only the kernel matches XLA
+    (5.9 vs 5.3 ms/layer-batch), but inside the full encoder the pallas_call
+    boundary forces materialized [B, H, L, Dh] transposes for q/k/v/ctx that
+    the XLA path fuses away, netting 48.7 vs 32.6 ms/batch. Dh=64 also
+    half-fills the 128-lane tiles. Stays off until a packed-layout
+    ([B, L, H*Dh], Dh=128) variant wins end-to-end; the XLA path already
+    meets the ingest target (7.8k chunks/s/chip = 62.7k projected v5e-8)."""
     return os.environ.get("RAG_TPU_FUSED_ATTN", "0") == "1"
