@@ -51,6 +51,12 @@ def main() -> int:
         LOG_DIR=logs,
         MCP_HTTP_BIND=f"127.0.0.1:{port}",
         DEV="1",
+        # share the persistent compile cache across eval runs (the default
+        # DATA_DIR-scoped cache is recreated fresh every run, repaying
+        # multi-minute tunnel compiles each time)
+        JAX_COMPILATION_CACHE_DIR=os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/rag_tpu_jax_cache"
+        ),
     )
     has_rr = os.path.exists(
         os.path.join(repo, "rust_local_rag_tpu", "assets", "reranker.safetensors")
