@@ -16,6 +16,32 @@ exact top-k over gathered candidates) with identical results.
 Kernel layout: grid over corpus tiles; queries use a constant index_map so
 the block stays resident; segment size is 128 (VPU lane width).
 
+Performance ceiling (measured, round 2 — scripts/exp_*.py): on this
+v5e-via-axon toolchain, HBM->VMEM DMA issued from INSIDE a Pallas kernel
+is pinned at ~300 GB/s (contiguous; ~96 GB/s for [Q, 32k] strided column
+blocks) regardless of block size (2k-32k rows), outstanding-copy depth
+(2-16 slots), or static vs fori_loop issue — while XLA's monolithic
+matmul emitter moves the same corpus at ~676 GB/s (einsum alone: 4.0 ms
+at Q=128, N=1.245M). A resident in-kernel dot_general tops out at
+~46 TFLOP/s (vs ~226 sustained through XLA). Alternatives measured and
+rejected at Q=128 (vs this kernel's 9.4 ms fused / 11.5 ms with
+selection):
+  * manual double-buffered streaming kernel: 7.4 ms kernel-only, but its
+    memory_space=ANY score output is untiled, and the downstream gather
+    pays a ~2 ms relayout — 11.4 ms end to end (a tie);
+  * XLA einsum + segmax, all formulations: reshape-max +6.1 ms,
+    [NS,SEG,Q] orientation +3.4 ms, reduce_window +6.5 ms, lax.scan over
+    corpus blocks 7.7-8.4 ms even WITHOUT score output;
+  * einsum + separate Pallas segmax pass over the scores: 13.3 ms
+    (strided DMA + boundary relayout);
+  * approx_max_k(aggregate_to_topk=False) as a bin-max producer: 54 ms
+    (lowers to an unfused slow path; bin layout is also opaque).
+This kernel's 9.4 ms sits near the in-kernel DMA roofline
+((1.9 GB corpus + 0.64 GB scores) / 300 GB/s = 8.5 ms), so per-batch
+latency at Q=128 is toolchain-bound. Throughput instead scales with the
+query batch: the corpus read amortizes over Q, so larger batches raise
+exact QPS/chip well past the Q=128 figure (see bench.py).
+
 Cites: reference hot loop rag_engine.rs:522-561 (per-candidate dot products
 on CPU) — this kernel is its TPU replacement at the other end of the
 performance scale.
@@ -61,9 +87,23 @@ def _score_segmax_kernel(q_ref, c_ref, scores_ref, segmax_ref):
 INNER_TILES = 8  # tiles whose segment maxima share one output block
 
 
+def auto_block_n(q: int, d: int, itemsize: int = 2) -> int:
+    """Largest corpus tile whose double-buffered pipeline fits XLA's 16 MB
+    scoped-VMEM budget at query batch q (the resident query block and the
+    [q, block_n] f32 score tiles grow with q; the corpus-read rate is flat
+    across 512-2048-row tiles on this toolchain, so shrinking tiles to
+    admit large serving batches costs nothing)."""
+    budget = 14 * 1024 * 1024  # leave slack under the 16 MB scoped limit
+    for blk in (2048, 1024, 512, 256, 128):
+        need = 2 * (blk * d * itemsize + q * blk * 4) + q * d * itemsize
+        if need <= budget:
+            return blk
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def fused_score_segmax(
-    queries: jax.Array, corpus: jax.Array, block_n: int = 2048
+    queries: jax.Array, corpus: jax.Array, block_n: int | None = None
 ):
     """[Q, D] x [N, D] -> (scores [Q, N] f32, segmax [N // SEG, Q] f32).
 
@@ -72,9 +112,13 @@ def fused_score_segmax(
 
     N must be a multiple of block_n * INNER_TILES (the engine's slab
     capacities are powers of two; bench shapes are padded by the caller).
+    block_n=None picks the largest tile fitting the scoped-VMEM budget
+    for this query batch (2048 up to Q=256, smaller beyond).
     """
     q, d = queries.shape
     n = corpus.shape[0]
+    if block_n is None:
+        block_n = auto_block_n(q, d, corpus.dtype.itemsize)
     group = block_n * INNER_TILES
     if n % group != 0 or block_n % SEG != 0:
         raise ValueError(
@@ -129,7 +173,7 @@ def pallas_segmented_topk(
     corpus: jax.Array,
     k: int,
     num_segments: int = 256,
-    block_n: int = 2048,
+    block_n: int | None = None,
 ):
     """Exact top-k: Pallas fused scoring/segmax + segmented selection.
 
@@ -184,12 +228,15 @@ def fused_score_segmax_masked(
     queries: jax.Array,
     corpus: jax.Array,
     valid_mask: jax.Array,  # [N] bool
-    block_n: int = 2048,
+    block_n: int | None = None,
 ):
     """Masked fused pass -> (masked scores [Q, N] f32,
-    masked segmax [N // SEG, Q] f32)."""
+    masked segmax [N // SEG, Q] f32). block_n=None: auto (see
+    fused_score_segmax)."""
     q, d = queries.shape
     n = corpus.shape[0]
+    if block_n is None:
+        block_n = auto_block_n(q, d, corpus.dtype.itemsize)
     group = block_n * INNER_TILES
     if n % group != 0 or block_n % SEG != 0:
         raise ValueError(

@@ -1,0 +1,56 @@
+"""Scale the query batch: the 1.9 GB corpus read is constant per batch, so
+exact QPS/chip should rise with Q until scores traffic dominates or VMEM
+blocks. Measures the production pallas_segmented_topk at Q=128..1024."""
+from __future__ import annotations
+import time
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/rag_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from rust_local_rag_tpu.ops.pallas_topk import pallas_segmented_topk
+
+N, D, K, STEPS = 1_245_184, 768, 100, 8
+
+
+def timed(q, s_keep=128, blk=2048):
+    corpus = jax.random.normal(jax.random.PRNGKey(0), (N, D), dtype=jnp.bfloat16)
+    qall = jax.random.normal(jax.random.PRNGKey(1), (STEPS, q, D), dtype=jnp.bfloat16)
+
+    @jax.jit
+    def loop(qall, corpus):
+        def step(c, qs):
+            qs = (qs.astype(jnp.float32) + c * 1e-6).astype(jnp.bfloat16)
+            v, _ = pallas_segmented_topk.__wrapped__(
+                qs, corpus, K, num_segments=s_keep, block_n=blk)
+            return jnp.sum(v).astype(jnp.float32), ()
+        c, _ = jax.lax.scan(step, jnp.float32(0), qall)
+        return c
+
+    float(loop(qall, corpus))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(qall, corpus))
+        best = min(best, time.perf_counter() - t0)
+    return best / STEPS * 1000
+
+
+import numpy as np
+# correctness at Q=512 once
+q = 512
+qs = jax.random.normal(jax.random.PRNGKey(2), (q, D), dtype=jnp.bfloat16)
+c = jax.random.normal(jax.random.PRNGKey(3), (16384 * 4, D), dtype=jnp.bfloat16)
+v, i = pallas_segmented_topk(qs, c, K, num_segments=128)
+ref = jnp.einsum("qd,nd->qn", qs, c, preferred_element_type=jnp.float32)
+rv, ri = jax.lax.top_k(ref, K)
+print("Q=512 exact:", np.array_equal(np.asarray(v), np.asarray(rv)),
+      np.array_equal(np.asarray(i), np.asarray(ri)), flush=True)
+
+for q in (128, 256, 512, 1024):
+    try:
+        ms = timed(q)
+        print(f"Q={q}: {ms:8.3f} ms  ({q/ms*1000:7.0f} qps/chip)", flush=True)
+    except Exception as e:
+        print(f"Q={q}: FAIL {str(e)[:90]}", flush=True)
