@@ -146,6 +146,15 @@ def main() -> None:
     float(pallas_loop(qall_big, corpus_p))
     el_big = (time.perf_counter() - t0) * (n / max(n_pallas, 1))
 
+    # free the kernel-lane device arrays before the ingest/server lanes:
+    # the server lane builds its own 1.25M f32 slab (3.8 GB) and the
+    # retained corpus/query batches otherwise push peak HBM into
+    # RESOURCE_EXHAUSTED on the shared chip
+    import gc
+
+    corpus = corpus_p = qall = qall_big = None
+    gc.collect()
+
     ingest_cps = None
     ingest_arch = None
     if os.environ.get("BENCH_INGEST", "1") != "0":

@@ -91,14 +91,21 @@ def auto_block_n(q: int, d: int, itemsize: int = 2) -> int:
     """Largest corpus tile whose double-buffered pipeline fits XLA's 16 MB
     scoped-VMEM budget at query batch q (the resident query block and the
     [q, block_n] f32 score tiles grow with q; the corpus-read rate is flat
-    across 512-2048-row tiles on this toolchain, so shrinking tiles to
-    admit large serving batches costs nothing)."""
+    across 1024-2048-row tiles on this toolchain, so shrinking tiles to
+    admit large serving batches costs nothing).
+
+    The floor is 1024: the in-kernel segmax store writes per_tile =
+    block_n // SEG sublane rows at offsets i * per_tile, and TPU sublane
+    slices need 8-row alignment — block_n < 1024 would make per_tile < 8.
+    The supported kernel query batch therefore tops out at 512 (bf16
+    768-d; Q=1024 exceeds the scoped budget even at the floor — callers
+    split larger batches)."""
     budget = 14 * 1024 * 1024  # leave slack under the 16 MB scoped limit
-    for blk in (2048, 1024, 512, 256, 128):
+    for blk in (2048, 1024):
         need = 2 * (blk * d * itemsize + q * blk * 4) + q * d * itemsize
         if need <= budget:
             return blk
-    return 128
+    return 1024
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import time as _time
 from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
@@ -154,6 +155,8 @@ class SearchBatcher:
             return
         top_k, diversity = batch[0].key[0], batch[0].key[1]
         queries = [it.query for it in batch]
+        debug = os.environ.get("RAG_TPU_BATCH_DEBUG")
+        t0 = _time.perf_counter() if debug else 0.0
         try:
             with self.engine_lock.read():
                 results = self.engine.search_with_diversity_batch(
@@ -168,5 +171,11 @@ class SearchBatcher:
             for it in batch:
                 it.future.set_exception(e)
             return
+        if debug:
+            print(
+                f"[batcher] n={len(batch)} top_k={top_k} "
+                f"{(_time.perf_counter() - t0) * 1000:.0f}ms",
+                flush=True,
+            )
         for it, res in zip(batch, results):
             it.future.set_result(res)

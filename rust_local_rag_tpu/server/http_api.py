@@ -20,8 +20,10 @@ searches are concurrent while ingest takes brief write locks.
 from __future__ import annotations
 
 import asyncio
+import concurrent.futures
 import json
 import logging
+import os
 from typing import Optional
 
 from aiohttp import web
@@ -135,9 +137,36 @@ class AppContext:
         return False
 
 
+# Dedicated pool for blocking handler work. The asyncio default executor
+# sizes itself min(32, cpus + 4) — on a 1-core host that is FIVE threads,
+# which silently caps the number of requests that can sit blocked in
+# batcher.search() and therefore caps every coalesced device batch at 5
+# (measured: 128 concurrent clients -> n=5 batches -> 11 qps). Search
+# threads spend their life waiting on a Future, not on the CPU, so the
+# pool is sized for the batcher's max coalesce width plus slack.
+_EXECUTOR: Optional[concurrent.futures.ThreadPoolExecutor] = None
+_EXECUTOR_LOCK = __import__("threading").Lock()
+
+
+def _executor() -> concurrent.futures.ThreadPoolExecutor:
+    # created lazily so RAG_TPU_BATCH_MAX set after import (launchers,
+    # benches) still sizes the pool
+    global _EXECUTOR
+    if _EXECUTOR is None:
+        with _EXECUTOR_LOCK:
+            if _EXECUTOR is None:
+                _EXECUTOR = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=(
+                        int(os.environ.get("RAG_TPU_BATCH_MAX", "16")) + 64
+                    ),
+                    thread_name_prefix="http-worker",
+                )
+    return _EXECUTOR
+
+
 async def _in_executor(fn, *args):
     loop = asyncio.get_running_loop()
-    return await loop.run_in_executor(None, fn, *args)
+    return await loop.run_in_executor(_executor(), fn, *args)
 
 
 def build_app(ctx: AppContext) -> web.Application:

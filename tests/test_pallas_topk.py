@@ -72,3 +72,33 @@ def test_hybrid_pallas_branch_masks_freed_slots(rng):
     for qi in range(q):
         want = set(np.argsort(-ref[qi])[:k].tolist())
         assert set(i[qi].tolist()) == want
+
+
+def test_auto_block_n_budget():
+    """Tile auto-selection: full 2048 tiles up to Q=256 (bf16), shrinking
+    beyond so the double-buffered pipeline stays inside the 16 MB
+    scoped-VMEM budget (measured OOM boundary on v5e: Q=512 @ blk=2048)."""
+    from rust_local_rag_tpu.ops.pallas_topk import auto_block_n
+
+    assert auto_block_n(128, 768, 2) == 2048
+    assert auto_block_n(256, 768, 2) == 2048
+    assert auto_block_n(512, 768, 2) == 1024
+    # the floor is 1024: smaller tiles break segmax sublane alignment
+    assert auto_block_n(4096, 768, 2) == 1024
+    # f32 slabs halve the corpus-tile budget share
+    assert auto_block_n(128, 768, 4) <= 2048
+    # every in-budget choice respects the budget
+    for q in (8, 64, 128, 512):
+        blk = auto_block_n(q, 768, 2)
+        assert 2 * (blk * 768 * 2 + q * blk * 4) + q * 768 * 2 <= 14 * 1024 * 1024
+
+
+def test_fused_score_segmax_auto_block(rng):
+    """block_n=None (auto) path produces identical outputs."""
+    q, n, d = 8, 16384, 256
+    queries = jnp.asarray(_unit(rng, q, d))
+    corpus = jnp.asarray(_unit(rng, n, d))
+    s_auto, m_auto = fused_score_segmax(queries, corpus)
+    s_fix, m_fix = fused_score_segmax(queries, corpus, block_n=2048)
+    np.testing.assert_allclose(np.asarray(s_auto), np.asarray(s_fix))
+    np.testing.assert_allclose(np.asarray(m_auto), np.asarray(m_fix))
