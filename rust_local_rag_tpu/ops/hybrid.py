@@ -80,11 +80,20 @@ def hybrid_topk(
     L = lex_slots.shape[1]
 
     k_eff = min(k, n)
-    if n >= 65536 and n % 16384 == 0:
+    from rust_local_rag_tpu.ops.pallas_topk import auto_block_n
+
+    if (
+        n >= 65536
+        and n % 16384 == 0
+        and auto_block_n(qn, queries.shape[1], corpus.dtype.itemsize)
+        is not None
+    ):
         # Pallas fused pass: scores + per-segment maxima in ONE read of the
         # corpus (the separate segment-max reduction would re-read the
         # [Q, N] score matrix from HBM). Masked slots are patched into both
-        # outputs before selection.
+        # outputs before selection. Very large query batches on f32 slabs
+        # fall through to the XLA path below (auto_block_n returns None
+        # when no corpus tile fits the scoped-VMEM budget).
         from rust_local_rag_tpu.ops.fast_topk import segmented_select_from
         from rust_local_rag_tpu.ops.pallas_topk import (
             fused_score_segmax_masked,

@@ -87,25 +87,30 @@ def _score_segmax_kernel(q_ref, c_ref, scores_ref, segmax_ref):
 INNER_TILES = 8  # tiles whose segment maxima share one output block
 
 
-def auto_block_n(q: int, d: int, itemsize: int = 2) -> int:
+def auto_block_n(q: int, d: int, itemsize: int = 2):
     """Largest corpus tile whose double-buffered pipeline fits XLA's 16 MB
     scoped-VMEM budget at query batch q (the resident query block and the
     [q, block_n] f32 score tiles grow with q; the corpus-read rate is flat
     across 1024-2048-row tiles on this toolchain, so shrinking tiles to
-    admit large serving batches costs nothing).
+    admit large serving batches costs nothing). Returns None when NO tile
+    fits — callers fall back to the XLA path (ops/hybrid.py does).
 
     The floor is 1024: the in-kernel segmax store writes per_tile =
     block_n // SEG sublane rows at offsets i * per_tile, and TPU sublane
     slices need 8-row alignment — block_n < 1024 would make per_tile < 8.
-    The supported kernel query batch therefore tops out at 512 (bf16
-    768-d; Q=1024 exceeds the scoped budget even at the floor — callers
-    split larger batches)."""
+    f32 slabs carry a surcharge: the MXU has no native f32 pass, so f32
+    dots decompose into multiple bf16 passes with extra Mosaic-side tile
+    buffers (measured: Q=512 f32 blk=2048 allocates 21.6 MB vs the naive
+    12 MB estimate). The supported kernel query batch therefore tops out
+    at 512 for bf16 768-d slabs and 256 for f32."""
     budget = 14 * 1024 * 1024  # leave slack under the 16 MB scoped limit
     for blk in (2048, 1024):
         need = 2 * (blk * d * itemsize + q * blk * 4) + q * d * itemsize
+        if itemsize >= 4:
+            need += 2 * blk * d * 4  # multi-pass f32 dot tile surcharge
         if need <= budget:
             return blk
-    return 1024
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -126,6 +131,12 @@ def fused_score_segmax(
     n = corpus.shape[0]
     if block_n is None:
         block_n = auto_block_n(q, d, corpus.dtype.itemsize)
+        if block_n is None:
+            raise ValueError(
+                f"query batch {q} too large for the fused kernel at "
+                f"dtype itemsize {corpus.dtype.itemsize} (no corpus tile "
+                "fits the scoped-VMEM budget) — use the XLA path"
+            )
     group = block_n * INNER_TILES
     if n % group != 0 or block_n % SEG != 0:
         raise ValueError(
@@ -244,6 +255,12 @@ def fused_score_segmax_masked(
     n = corpus.shape[0]
     if block_n is None:
         block_n = auto_block_n(q, d, corpus.dtype.itemsize)
+        if block_n is None:
+            raise ValueError(
+                f"query batch {q} too large for the fused kernel at "
+                f"dtype itemsize {corpus.dtype.itemsize} (no corpus tile "
+                "fits the scoped-VMEM budget) — use the XLA path"
+            )
     group = block_n * INNER_TILES
     if n % group != 0 or block_n % SEG != 0:
         raise ValueError(

@@ -84,6 +84,10 @@ def measure_server_qps(
 
     os.environ.setdefault("RAG_TPU_BATCH_MAX", str(clients))
     os.environ.setdefault("RAG_TPU_BATCH_WINDOW_MS", "5")
+    # high-QPS serving config: bf16 corpus slab (documented mode, matches
+    # the kernel bench) — the fused kernel then admits batches up to 512;
+    # f32 slabs cap the kernel at 256 and fall back to XLA beyond
+    os.environ.setdefault("RAG_TPU_CORPUS_DTYPE", "bf16")
     with tempfile.TemporaryDirectory() as tmp:
         t0 = time.monotonic()
         eng = _build_engine(n_chunks, tmp)
@@ -209,6 +213,7 @@ def measure_server_qps(
         p = lambda f: lat_ms[int(f * (len(lat_ms) - 1))] if lat_ms else None
         return {
             "server_e2e_qps": round(total / elapsed, 1),
+            "corpus_dtype": os.environ.get("RAG_TPU_CORPUS_DTYPE", "f32"),
             "n_chunks": len(eng.store),
             "top_k": top_k,
             "clients": clients,

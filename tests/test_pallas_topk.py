@@ -83,8 +83,10 @@ def test_auto_block_n_budget():
     assert auto_block_n(128, 768, 2) == 2048
     assert auto_block_n(256, 768, 2) == 2048
     assert auto_block_n(512, 768, 2) == 1024
-    # the floor is 1024: smaller tiles break segmax sublane alignment
-    assert auto_block_n(4096, 768, 2) == 1024
+    # beyond the supported batch no tile fits -> None (caller falls back)
+    assert auto_block_n(4096, 768, 2) is None
+    # f32 slabs pay the multi-pass dot surcharge: Q=512 has no fit
+    assert auto_block_n(512, 768, 4) is None
     # f32 slabs halve the corpus-tile budget share
     assert auto_block_n(128, 768, 4) <= 2048
     # every in-budget choice respects the budget

@@ -173,3 +173,69 @@ def test_sharded_topk_large_shard_segmented_path(rng):
     for qi in range(2):
         want = set(np.argsort(-ref[qi])[:k].tolist())
         assert set(idx[qi].tolist()) == want
+
+
+# ---- multi-slice hierarchical merge (ICI + DCN; SURVEY.md §5.8) ----
+
+
+def test_multislice_topk_exact_vs_single_device(rng):
+    from rust_local_rag_tpu.parallel.multislice import multislice_topk
+
+    d, n, q, k = 32, 1024, 4, 16
+    corpus = _unit_rows(rng, n, d)
+    queries = _unit_rows(rng, q, d)
+    mesh = build_mesh((2, 4), ("slice", "ici"))
+    vals, idx = multislice_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), k, mesh, tile_n=64
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    ref_v, ref_i = jax.lax.top_k(
+        jnp.einsum(
+            "qd,nd->qn", jnp.asarray(queries), jnp.asarray(corpus),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        k,
+    )
+    for qi in range(q):
+        assert set(idx[qi].tolist()) == set(np.asarray(ref_i)[qi].tolist())
+        np.testing.assert_allclose(
+            vals[qi], np.asarray(ref_v)[qi], rtol=1e-6, atol=1e-7
+        )
+
+
+def test_multislice_topk_padding_and_bounds(rng):
+    from rust_local_rag_tpu.parallel.multislice import multislice_topk
+
+    mesh = build_mesh((2, 4), ("slice", "ici"))
+    d, n_valid, n_padded, k = 16, 700, 704, 8
+    corpus = np.zeros((n_padded, d), np.float32)
+    corpus[:n_valid] = _unit_rows(rng, n_valid, d)
+    queries = _unit_rows(rng, 3, d)
+    vals, idx = multislice_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), k, mesh,
+        tile_n=64, valid_count=n_valid,
+    )
+    # no padded row may appear
+    assert np.asarray(idx).max() < n_valid
+    ref_v, _ = jax.lax.top_k(
+        jnp.einsum(
+            "qd,nd->qn", jnp.asarray(queries),
+            jnp.asarray(corpus[:n_valid]),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        k,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(ref_v), rtol=1e-6, atol=1e-7
+    )
+
+    with pytest.raises(ValueError, match="exceeds rows per shard"):
+        multislice_topk(
+            jnp.asarray(queries), jnp.asarray(corpus), 128, mesh
+        )
+    with pytest.raises(ValueError, match="divide evenly"):
+        multislice_topk(
+            jnp.asarray(queries), jnp.asarray(corpus[:701]), k, mesh
+        )
