@@ -87,12 +87,14 @@ def main() -> int:
             open(os.path.join(repo, "eval_harness", "configs", "baseline.yaml"))
         )
         blend = {"reranker": 0.35, "initial": 0.65}
+        w91 = {"weights": {**blend, "embedding": 0.9, "lexical": 0.1}}
         points = [
-            ("hw_0.7_0.3", {"weights": {**blend, "embedding": 0.7, "lexical": 0.3}}),
-            ("hw_0.6_0.4", {"weights": {**blend, "embedding": 0.6, "lexical": 0.4}}),
-            ("hw_0.8_0.2", {"weights": {**blend, "embedding": 0.8, "lexical": 0.2}}),
-            ("hw_0.5_0.5", {"weights": {**blend, "embedding": 0.5, "lexical": 0.5}}),
-            ("hw_0.9_0.1", {"weights": {**blend, "embedding": 0.9, "lexical": 0.1}}),
+            # phase 2: 0.9/0.1 won hit (0.822 vs 0.800) but the rejection
+            # threshold calibrated at 0.7/0.3 breaks (rej 0.6) — sweep it
+            ("rt_0.055", {**w91, "rejection_threshold": 0.055}),
+            ("rt_0.07", {**w91, "rejection_threshold": 0.07}),
+            ("rt_0.09", {**w91, "rejection_threshold": 0.09}),
+            ("rt_0.12", {**w91, "rejection_threshold": 0.12}),
         ]
         out_dir = os.path.join(work, "reports")
         os.makedirs(out_dir, exist_ok=True)
