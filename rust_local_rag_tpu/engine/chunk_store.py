@@ -76,9 +76,20 @@ class ChunkStore:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            self._row_sharding = NamedSharding(mesh, P(corpus_axis, None))
-            self._mask_sharding = NamedSharding(mesh, P(corpus_axis))
-            n_shards = mesh.shape[corpus_axis]
+            # corpus_axis may be a tuple of mesh axes (hierarchical
+            # slice x ici sharding) — PartitionSpec accepts a multi-axis
+            # element for one dimension
+            axes = (
+                corpus_axis
+                if isinstance(corpus_axis, tuple)
+                else (corpus_axis,)
+            )
+            cspec = axes if len(axes) > 1 else axes[0]
+            self._row_sharding = NamedSharding(mesh, P(cspec, None))
+            self._mask_sharding = NamedSharding(mesh, P(cspec))
+            n_shards = 1
+            for a in axes:
+                n_shards *= mesh.shape[a]
             while initial_capacity % n_shards:
                 initial_capacity += 1
         self._capacity = int(initial_capacity)

@@ -165,25 +165,55 @@ class RagEngine:
         self._mesh = None
         self._data_axis = None
         self._data_parallel = 1
+        # Hierarchical (multi-slice) sharding: RAG_TPU_SLICES=S factors the
+        # corpus shards into S slices x (shards/S) intra-slice chips; the
+        # sharded merge then runs innermost-first so only k candidates per
+        # slice cross the inter-slice (DCN) axis — parallel/multislice.py
+        # documents the traffic argument. Quantized capacity mode keeps the
+        # flat merge (its two-phase rescore is flat-indexed).
+        self._corpus_axes = "corpus"
         shards = int(_os.environ.get("RAG_TPU_SHARD_CORPUS", "0") or 0)
         dp = int(_os.environ.get("RAG_TPU_DATA_PARALLEL", "1") or 1)
+        slices = int(_os.environ.get("RAG_TPU_SLICES", "0") or 0)
+        if slices > 1 and quantized:
+            logger.warning(
+                "RAG_TPU_SLICES ignored in int8 capacity mode "
+                "(flat merge only)"
+            )
+            slices = 0
+        if slices > 1 and (shards <= 1 or shards % slices):
+            logger.warning(
+                "RAG_TPU_SLICES=%d must divide RAG_TPU_SHARD_CORPUS=%d; "
+                "ignoring slices",
+                slices, shards,
+            )
+            slices = 0
         if shards > 1:
             import jax as _jax
 
             devices = _jax.devices()
+            corpus_shape = (
+                (slices, shards // slices) if slices > 1 else (shards,)
+            )
+            corpus_axes = (
+                ("slice", "corpus") if slices > 1 else ("corpus",)
+            )
             if dp > 1 and len(devices) >= dp * shards:
                 from jax.sharding import Mesh
 
                 self._mesh = Mesh(
-                    np.array(devices[: dp * shards]).reshape(dp, shards),
-                    ("data", "corpus"),
+                    np.array(devices[: dp * shards]).reshape(
+                        (dp,) + corpus_shape
+                    ),
+                    ("data",) + corpus_axes,
                 )
                 self._data_axis = "data"
                 self._data_parallel = dp
                 logger.info(
-                    "Composed mesh: %d query replicas x %d corpus shards (%s)",
+                    "Composed mesh: %d query replicas x %s corpus shards "
+                    "(%s)",
                     dp,
-                    shards,
+                    "x".join(str(s) for s in corpus_shape),
                     devices[0].platform,
                 )
             elif len(devices) >= shards:
@@ -197,11 +227,12 @@ class RagEngine:
                         dp, shards, dp * shards, len(devices),
                     )
                 self._mesh = Mesh(
-                    np.array(devices[:shards]), ("corpus",)
+                    np.array(devices[:shards]).reshape(corpus_shape),
+                    corpus_axes,
                 )
                 logger.info(
-                    "Corpus sharded over %d devices (%s)",
-                    shards,
+                    "Corpus sharded over %s devices (%s)",
+                    "x".join(str(s) for s in corpus_shape),
                     devices[0].platform,
                 )
             else:
@@ -211,11 +242,14 @@ class RagEngine:
                     shards,
                     len(devices),
                 )
+            if self._mesh is not None and slices > 1:
+                self._corpus_axes = ("slice", "corpus")
         self.store = ChunkStore(
             dim=embedding_service.dim,
             dtype=corpus_dtype,
             quantized=quantized,
             mesh=self._mesh,
+            corpus_axis=self._corpus_axes,
         )
         # native C++ index when built (see native/), Python fallback
         self.lexical_index = make_lexical_index()
@@ -513,6 +547,7 @@ class RagEngine:
                 jnp.float32(resolved.lexical),
                 _bucket_k(initial_k),
                 mesh=self._mesh,
+                corpus_axis=self._corpus_axes,
                 with_sims=collect_sims,
                 data_axis=self._data_axis,
             )
@@ -945,6 +980,8 @@ class RagEngine:
                 else _ss.sharded_hybrid_topk
             )
             kwargs = {"mesh": self._mesh}
+            if not self.store.quantized:
+                kwargs["corpus_axis"] = self._corpus_axes
         else:
             fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
             kwargs = {}

@@ -151,7 +151,15 @@ def sharded_hybrid_topk(
     """
     qn = queries.shape[0]
     n = corpus.shape[0]
-    n_shards = mesh.shape[corpus_axis]
+    # corpus_axis may be a TUPLE of mesh axes for hierarchical sharding:
+    # e.g. ("slice", "corpus") row-shards over slices x intra-slice chips
+    # and the merge below runs innermost-first, so only k candidates per
+    # slice cross the slice axis (DCN in a real multi-slice deployment —
+    # see parallel/multislice.py for the traffic argument).
+    axes = corpus_axis if isinstance(corpus_axis, tuple) else (corpus_axis,)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
     if n % n_shards != 0:
         raise ValueError(
             f"slab rows {n} must divide across {n_shards} shards"
@@ -160,7 +168,12 @@ def sharded_hybrid_topk(
     k_local = min(k, rows)
 
     def local(q, c_shard, m_shard, slots, lvals):
-        shard_id = jax.lax.axis_index(corpus_axis)
+        # flat shard index with axes laid out outer-major
+        shard_id = jax.lax.axis_index(axes[-1])
+        stride = mesh.shape[axes[-1]]
+        for a in reversed(axes[:-1]):
+            shard_id = shard_id + jax.lax.axis_index(a) * stride
+            stride = stride * mesh.shape[a]
         base = shard_id * rows
 
         prec = (
@@ -238,23 +251,28 @@ def sharded_hybrid_topk(
         s_lexn = jnp.take_along_axis(lexn, sel, axis=1)
         s_idx = jnp.take_along_axis(gidx, sel, axis=1)
 
-        av = jax.lax.all_gather(s_vals, corpus_axis)   # [S, Q, k_local]
-        ae = jax.lax.all_gather(s_emb, corpus_axis)
-        al = jax.lax.all_gather(s_lexn, corpus_axis)
-        ai = jax.lax.all_gather(s_idx, corpus_axis)
+        # hierarchical merge, innermost axis first: each level gathers the
+        # current candidate sets along ONE mesh axis and reduces back to
+        # (at most) k — with axes=("slice","corpus") only k pairs per
+        # slice ever cross the outer (DCN) axis.
         # q.shape[0] is the LOCAL query-block size — under a composed
         # ("data" x corpus) mesh it is Q/dp, NOT the jit-level qn
         q_n = q.shape[0]
-        fv = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
-        fe = jnp.transpose(ae, (1, 0, 2)).reshape(q_n, -1)
-        fl = jnp.transpose(al, (1, 0, 2)).reshape(q_n, -1)
-        fi = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
-
-        kk = min(k, fv.shape[1])
-        vals, sel2 = jax.lax.top_k(fv, kk)
-        emb_k = jnp.take_along_axis(fe, sel2, axis=1)
-        lex_k = jnp.take_along_axis(fl, sel2, axis=1)
-        idx = jnp.take_along_axis(fi, sel2, axis=1)
+        vals, emb_k, lex_k, idx = s_vals, s_emb, s_lexn, s_idx
+        for a in reversed(axes):
+            av = jax.lax.all_gather(vals, a)    # [sz, Q, w]
+            ae = jax.lax.all_gather(emb_k, a)
+            al = jax.lax.all_gather(lex_k, a)
+            ai = jax.lax.all_gather(idx, a)
+            fv = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
+            fe = jnp.transpose(ae, (1, 0, 2)).reshape(q_n, -1)
+            fl = jnp.transpose(al, (1, 0, 2)).reshape(q_n, -1)
+            fi = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
+            kk = min(k, fv.shape[1])
+            vals, sel2 = jax.lax.top_k(fv, kk)
+            emb_k = jnp.take_along_axis(fe, sel2, axis=1)
+            lex_k = jnp.take_along_axis(fl, sel2, axis=1)
+            idx = jnp.take_along_axis(fi, sel2, axis=1)
         if kk < k:
             pad = k - kk
             vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -270,10 +288,11 @@ def sharded_hybrid_topk(
     # body is unchanged: each device handles its query block over its
     # corpus rows; the merge all_gather names only the corpus axis.
     qspec = P(data_axis, None) if data_axis else P()
+    cspec = axes if len(axes) > 1 else axes[0]
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(qspec, P(corpus_axis, None), P(corpus_axis), qspec, qspec),
+        in_specs=(qspec, P(cspec, None), P(cspec), qspec, qspec),
         out_specs=(qspec, qspec, qspec, qspec),
         check_vma=False,
     )

@@ -228,3 +228,64 @@ def test_composed_mesh_matches_unsharded(tmp_path, engines):
     ref = plain.search_with_diversity_batch(queries, 5, 0.4)
     for ra, rb in zip(ref, div):
         assert [r.chunk_id for r in ra] == [r.chunk_id for r in rb]
+
+
+# ---- multi-slice engine sharding: RAG_TPU_SLICES (hierarchical merge) ----
+
+
+@pytest.fixture(scope="module")
+def sliced_engine(tmp_path_factory):
+    svc = EmbeddingService(HashEncoder(dim=D, model_name="slice-test"))
+    import os
+
+    os.environ["RAG_TPU_SHARD_CORPUS"] = "8"
+    os.environ["RAG_TPU_SLICES"] = "2"
+    try:
+        eng = RagEngine(str(tmp_path_factory.mktemp("sliced")), svc)
+    finally:
+        del os.environ["RAG_TPU_SHARD_CORPUS"]
+        del os.environ["RAG_TPU_SLICES"]
+    assert eng._mesh is not None, "mesh not built (need >= 8 devices)"
+    assert eng._corpus_axes == ("slice", "corpus")
+    assert dict(zip(eng._mesh.axis_names, eng._mesh.devices.shape)) == {
+        "slice": 2,
+        "corpus": 4,
+    }
+    _populate(eng, np.random.default_rng(7))
+    return eng
+
+
+def test_sliced_slab_sharded_over_both_axes(sliced_engine):
+    spec = sliced_engine.store.corpus().sharding.spec
+    assert tuple(spec[0]) == ("slice", "corpus")
+
+
+def test_sliced_search_matches_unsharded(engines, sliced_engine):
+    plain, _ = engines
+    for q in ("synthetic alpha beta", "chunk 100", "zeta unknown"):
+        a = plain.search(q, 10)
+        b = sliced_engine.search(q, 10)
+        assert [r.chunk_id for r in a] == [r.chunk_id for r in b]
+        np.testing.assert_allclose(
+            [r.score for r in a], [r.score for r in b], rtol=1e-5
+        )
+
+
+def test_sliced_batch_and_diversity(engines, sliced_engine):
+    plain, _ = engines
+    qs = [f"synthetic query {i} alpha" for i in range(4)]
+    a = plain.search_with_diversity_batch(qs, 8, 0.4)
+    b = sliced_engine.search_with_diversity_batch(qs, 8, 0.4)
+    for ra, rb in zip(a, b):
+        assert [r.chunk_id for r in ra] == [r.chunk_id for r in rb]
+
+
+def test_slices_must_divide_shards(tmp_path):
+    svc = EmbeddingService(HashEncoder(dim=D, model_name="slice-bad"))
+    eng = _mk_engine(
+        tmp_path / "bad", svc,
+        {"RAG_TPU_SHARD_CORPUS": "8", "RAG_TPU_SLICES": "3"},
+    )
+    # invalid slices ignored -> flat 8-shard mesh still built
+    assert eng._corpus_axes == "corpus"
+    assert eng._mesh is not None
