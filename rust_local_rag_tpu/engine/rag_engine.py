@@ -169,18 +169,12 @@ class RagEngine:
         # corpus shards into S slices x (shards/S) intra-slice chips; the
         # sharded merge then runs innermost-first so only k candidates per
         # slice cross the inter-slice (DCN) axis — parallel/multislice.py
-        # documents the traffic argument. Quantized capacity mode keeps the
-        # flat merge (its two-phase rescore is flat-indexed).
+        # documents the traffic argument. Composes with int8 capacity mode
+        # (10M chunks/chip x slices x chips).
         self._corpus_axes = "corpus"
         shards = int(_os.environ.get("RAG_TPU_SHARD_CORPUS", "0") or 0)
         dp = int(_os.environ.get("RAG_TPU_DATA_PARALLEL", "1") or 1)
         slices = int(_os.environ.get("RAG_TPU_SLICES", "0") or 0)
-        if slices > 1 and quantized:
-            logger.warning(
-                "RAG_TPU_SLICES ignored in int8 capacity mode "
-                "(flat merge only)"
-            )
-            slices = 0
         if slices > 1 and (shards <= 1 or shards % slices):
             logger.warning(
                 "RAG_TPU_SLICES=%d must divide RAG_TPU_SHARD_CORPUS=%d; "
@@ -979,9 +973,7 @@ class RagEngine:
                 if self.store.quantized
                 else _ss.sharded_hybrid_topk
             )
-            kwargs = {"mesh": self._mesh}
-            if not self.store.quantized:
-                kwargs["corpus_axis"] = self._corpus_axes
+            kwargs = {"mesh": self._mesh, "corpus_axis": self._corpus_axes}
         else:
             fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
             kwargs = {}

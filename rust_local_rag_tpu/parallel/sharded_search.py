@@ -348,14 +348,21 @@ def sharded_hybrid_topk_quantized(
     qn = queries.shape[0]
     n = values.shape[0]
     d = values.shape[1]
-    n_shards = mesh.shape[corpus_axis]
+    axes = corpus_axis if isinstance(corpus_axis, tuple) else (corpus_axis,)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
     if n % n_shards != 0:
         raise ValueError(f"slab rows {n} must divide across {n_shards}")
     rows = n // n_shards
     k_local = min(k, rows)
 
     def local(q, v_shard, s_shard, m_shard, slots, lvals):
-        shard_id = jax.lax.axis_index(corpus_axis)
+        shard_id = jax.lax.axis_index(axes[-1])
+        stride = mesh.shape[axes[-1]]
+        for a in reversed(axes[:-1]):
+            shard_id = shard_id + jax.lax.axis_index(a) * stride
+            stride = stride * mesh.shape[a]
         base = shard_id * rows
 
         # phase 1: int8 x int8 selection (ops/hybrid.py:220-231 semantics)
@@ -408,7 +415,10 @@ def sharded_hybrid_topk_quantized(
             jnp.float32
         )
         row_scales = jnp.take(s_shard, safe.reshape(-1), axis=0)
-        rows_f = (rows_f * row_scales).reshape(qn, -1, d)
+        # local query-block size, NOT the jit-level qn (under a composed
+        # ("data" x corpus) mesh the block is qn/dp — same latent bug as
+        # the one fixed in the non-quantized merge reshape)
+        rows_f = (rows_f * row_scales).reshape(q.shape[0], -1, d)
         emb_f32 = jnp.einsum(
             "qd,qcd->qc", q32, rows_f, preferred_element_type=jnp.float32
         )
@@ -435,22 +445,25 @@ def sharded_hybrid_topk_quantized(
         s_idx = jnp.take_along_axis(g_all, sel, axis=1)
         s_idx = jnp.where(s_vals == NEG_INF, -1, s_idx)
 
-        av = jax.lax.all_gather(s_vals, corpus_axis)
-        ae = jax.lax.all_gather(s_emb, corpus_axis)
-        al = jax.lax.all_gather(s_lexn, corpus_axis)
-        ai = jax.lax.all_gather(s_idx, corpus_axis)
+        # hierarchical merge, innermost axis first (see sharded_hybrid_topk)
         # q.shape[0] is the LOCAL query-block size — under a composed
         # ("data" x corpus) mesh it is Q/dp, NOT the jit-level qn
         q_n = q.shape[0]
-        fv = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
-        fe = jnp.transpose(ae, (1, 0, 2)).reshape(q_n, -1)
-        fl = jnp.transpose(al, (1, 0, 2)).reshape(q_n, -1)
-        fi = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
-        kk = min(k, fv.shape[1])
-        vals, sel2 = jax.lax.top_k(fv, kk)
-        emb_k = jnp.take_along_axis(fe, sel2, axis=1)
-        lex_k = jnp.take_along_axis(fl, sel2, axis=1)
-        idx = jnp.take_along_axis(fi, sel2, axis=1)
+        vals, emb_k, lex_k, idx = s_vals, s_emb, s_lexn, s_idx
+        for a in reversed(axes):
+            av = jax.lax.all_gather(vals, a)
+            ae = jax.lax.all_gather(emb_k, a)
+            al = jax.lax.all_gather(lex_k, a)
+            ai = jax.lax.all_gather(idx, a)
+            fv = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
+            fe = jnp.transpose(ae, (1, 0, 2)).reshape(q_n, -1)
+            fl = jnp.transpose(al, (1, 0, 2)).reshape(q_n, -1)
+            fi = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
+            kk = min(k, fv.shape[1])
+            vals, sel2 = jax.lax.top_k(fv, kk)
+            emb_k = jnp.take_along_axis(fe, sel2, axis=1)
+            lex_k = jnp.take_along_axis(fl, sel2, axis=1)
+            idx = jnp.take_along_axis(fi, sel2, axis=1)
         if kk < k:
             pad = k - kk
             vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -462,12 +475,13 @@ def sharded_hybrid_topk_quantized(
 
     # composed ("data" x corpus) mesh: query-batch axis shards along data
     qspec = P(data_axis, None) if data_axis else P()
+    cspec = axes if len(axes) > 1 else axes[0]
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            qspec, P(corpus_axis, None), P(corpus_axis, None),
-            P(corpus_axis), qspec, qspec,
+            qspec, P(cspec, None), P(cspec, None),
+            P(cspec), qspec, qspec,
         ),
         out_specs=(qspec, qspec, qspec, qspec),
         check_vma=False,

@@ -289,3 +289,38 @@ def test_slices_must_divide_shards(tmp_path):
     # invalid slices ignored -> flat 8-shard mesh still built
     assert eng._corpus_axes == "corpus"
     assert eng._mesh is not None
+
+
+def test_sliced_quantized_matches_flat_quantized(tmp_path):
+    """int8 capacity mode composes with slices: the hierarchical merge
+    must produce the same f32-rescored ranking as the flat sharded int8
+    engine (identical candidate unions when buckets cover the corpus)."""
+    svc = EmbeddingService(HashEncoder(dim=D, model_name="q-slice"))
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((64, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    metas = [
+        ChunkMeta(id=f"c{i}", document_name="d.pdf",
+                  text=f"chunk {i} alpha", chunk_index=i)
+        for i in range(64)
+    ]
+    flat = _mk_engine(
+        tmp_path / "f", svc,
+        {"RAG_TPU_INT8_CORPUS": "1", "RAG_TPU_SHARD_CORPUS": "8"},
+    )
+    flat.store.add_chunks(metas, emb)
+    sliced = _mk_engine(
+        tmp_path / "s", svc,
+        {"RAG_TPU_INT8_CORPUS": "1", "RAG_TPU_SHARD_CORPUS": "8",
+         "RAG_TPU_SLICES": "2"},
+    )
+    assert sliced._corpus_axes == ("slice", "corpus")
+    assert sliced.store.quantized
+    sliced.store.add_chunks(metas, emb)
+    for q in ("chunk 7 alpha", "chunk 42 alpha"):
+        a = flat.search(q, 8)
+        b = sliced.search(q, 8)
+        assert [r.chunk_id for r in a] == [r.chunk_id for r in b]
+        np.testing.assert_allclose(
+            [r.score for r in a], [r.score for r in b], rtol=1e-5
+        )
