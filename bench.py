@@ -182,7 +182,7 @@ def main() -> None:
             f"{cfg.depth}L x {cfg.dim}d -> {cfg.out_dim}d"
             + (" (trained)" if asset else " (random init)")
         )
-        eb = int(os.environ.get("BENCH_INGEST_BATCH", 256))
+        eb = int(os.environ.get("BENCH_INGEST_BATCH", 1024))  # measured peak (batch sweep: 256->7.8k, 512->8.3k, 1024->8.4k, 2048->7.5k chunks/s)
         el_ = int(os.environ.get("BENCH_INGEST_LEN", 256))
         es = 8
         ids = jax.random.randint(
@@ -243,6 +243,7 @@ def main() -> None:
         ),
         "ingest_encoder": ingest_arch,
         "ingest_seq_len": int(os.environ.get("BENCH_INGEST_LEN", 256)),
+        "ingest_batch": int(os.environ.get("BENCH_INGEST_BATCH", 1024)),
         "ingest_projected_v5e8": (
             round(ingest_cps * 8, 1) if ingest_cps else None
         ),
