@@ -641,3 +641,22 @@ def test_tui_watch_jobs_receives_push(server):
         if requests.get(f"{server.base}/jobs/active").json() is None:
             break
         time.sleep(0.2)
+
+
+def test_http_executor_sized_for_batcher_width(monkeypatch):
+    """Regression: the asyncio default executor is min(32, cpus+4) threads
+    — five on a single-core host — which capped concurrent blocked
+    batcher.search() calls and thus every coalesced device batch at n=5
+    (measured 11 qps at 128 clients). The dedicated pool must track
+    RAG_TPU_BATCH_MAX (+ slack for non-search handlers)."""
+    import importlib
+
+    from rust_local_rag_tpu.server import http_api
+
+    monkeypatch.setenv("RAG_TPU_BATCH_MAX", "256")
+    monkeypatch.setattr(http_api, "_EXECUTOR", None)
+    ex = http_api._executor()
+    assert ex._max_workers >= 256 + 64
+    # lazily cached afterwards
+    assert http_api._executor() is ex
+    monkeypatch.setattr(http_api, "_EXECUTOR", None)
