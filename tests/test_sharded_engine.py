@@ -324,3 +324,34 @@ def test_sliced_quantized_matches_flat_quantized(tmp_path):
         np.testing.assert_allclose(
             [r.score for r in a], [r.score for r in b], rtol=1e-5
         )
+
+
+def test_sliced_persistence_roundtrip(tmp_path):
+    """Save from a sliced-mesh engine, reload into an unsharded engine:
+    the npz gathers to host transparently and rankings survive."""
+    svc = EmbeddingService(HashEncoder(dim=D, model_name="slice-persist"))
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((64, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    metas = [
+        ChunkMeta(id=f"c{i}", document_name="d.pdf",
+                  text=f"chunk {i} alpha", chunk_index=i)
+        for i in range(64)
+    ]
+    sliced = _mk_engine(
+        tmp_path / "sl", svc,
+        {"RAG_TPU_SHARD_CORPUS": "8", "RAG_TPU_SLICES": "2"},
+    )
+    assert sliced._corpus_axes == ("slice", "corpus")
+    sliced.store.add_chunks(metas, emb)
+    for m in metas[::5]:
+        sliced.lexical_index.add_chunk(m.id, m.text)
+    want = [(r.chunk_id, r.score) for r in sliced.search("chunk 9 alpha", 5)]
+    sliced.save_to_disk()
+
+    plain = RagEngine(str(tmp_path / "sl"), svc)
+    got = [(r.chunk_id, r.score) for r in plain.search("chunk 9 alpha", 5)]
+    assert [c for c, _ in want] == [c for c, _ in got]
+    np.testing.assert_allclose(
+        [s for _, s in want], [s for _, s in got], rtol=1e-5
+    )
