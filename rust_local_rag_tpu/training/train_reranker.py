@@ -52,6 +52,7 @@ class PromptPairBatcher:
         seed: int = 0,
         index_size: int = 50000,
         random_negative_frac: float = 0.2,
+        dense_neighbors: Optional[np.ndarray] = None,
     ):
         self.rng = np.random.default_rng(seed)
         self.seq_len = seq_len
@@ -78,6 +79,12 @@ class PromptPairBatcher:
         for i in self.indexed:
             bm25.add_chunk(str(i), self.paragraphs[i])
         self.neighbors = self._premine(bm25)
+        # optional second neighbor table mined by the TRAINED dense
+        # encoder (v3 recipe): dense near-misses are the failure mode the
+        # hybrid first stage actually surfaces — semantically adjacent
+        # paragraphs BM25 would rank low. Rows align with `paragraphs`
+        # (filtered), -1 padded.
+        self.dense_neighbors = dense_neighbors
 
     def _premine(self, bm25, n_neighbors: int = 4, threads: int = 8):
         """[P, n_neighbors] int32 neighbor table; -1 = no mined hit.
@@ -133,6 +140,11 @@ class PromptPairBatcher:
         n = len(self.paragraphs)
         if self.rng.random() > self.random_frac:
             row = self.neighbors[avoid]
+            if (
+                self.dense_neighbors is not None
+                and self.rng.random() < 0.5
+            ):
+                row = self.dense_neighbors[avoid]
             cands = row[(row >= 0) & (row != avoid)]
             if cands.size:
                 return self.paragraphs[
@@ -187,6 +199,68 @@ class PromptPairBatcher:
         return tuple(np.stack(c) for c in cols)
 
 
+def mine_dense_neighbors(
+    paragraphs: List[str], n_neighbors: int = 4, block: int = 4096
+) -> Optional[np.ndarray]:
+    """[P, n_neighbors] int32 neighbor table mined by the COMMITTED dense
+    encoder: for each paragraph, the nearest other paragraphs by cosine —
+    the semantically-adjacent near-misses the hybrid first stage surfaces
+    that BM25 mining cannot see. Returns None when no trained encoder
+    asset exists (v2-recipe fallback)."""
+    from rust_local_rag_tpu.models.encoder import default_asset
+
+    if not default_asset("encoder.safetensors"):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from rust_local_rag_tpu.models.embedding_service import (
+        build_default_service,
+    )
+
+    svc = build_default_service()
+    t0 = time.monotonic()
+    embs = []
+    # modest per-dispatch batch: paragraphs bucket up to the encoder's
+    # 512-token cap, and a 4096-wide forward at L=512 allocates a 34 GB
+    # attention tensor (measured OOM) — 256 keeps it under 2 GB
+    step = 256
+    for lo in range(0, len(paragraphs), step):
+        embs.append(
+            np.asarray(svc.embed_texts(paragraphs[lo : lo + step]))
+        )
+    embs = np.concatenate(embs).astype(np.float32)
+    embs /= np.maximum(
+        np.linalg.norm(embs, axis=1, keepdims=True), 1e-10
+    )
+    corpus = jnp.asarray(embs, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def topk_block(qs, corpus):
+        scores = jnp.einsum(
+            "qd,nd->qn", qs, corpus, preferred_element_type=jnp.float32
+        )
+        return jax.lax.top_k(scores, n_neighbors + 1)
+
+    n = len(paragraphs)
+    out = np.full((n, n_neighbors), -1, dtype=np.int32)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        qs = corpus[lo:hi]
+        if hi - lo < block:  # pad the tail to the compiled shape
+            qs = jnp.pad(qs, ((0, block - (hi - lo)), (0, 0)))
+        _, idx = topk_block(qs, corpus)
+        idx = np.asarray(idx)[: hi - lo]
+        for r in range(hi - lo):
+            cands = [int(j) for j in idx[r] if int(j) != lo + r]
+            out[lo + r, : len(cands[:n_neighbors])] = cands[:n_neighbors]
+    print(
+        f"dense-mined {n} paragraphs x {n_neighbors} neighbors in "
+        f"{time.monotonic() - t0:.1f}s"
+    )
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", help="pre-harvested paragraph file")
@@ -205,6 +279,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--tokenizer", default=None)
     ap.add_argument("--eval-every", type=int, default=1600)
     ap.add_argument("--no-exclude-eval", action="store_true")
+    ap.add_argument(
+        "--dense-negatives", choices=("auto", "on", "off"), default="auto",
+        help="mine negatives with the committed dense encoder too (v3 "
+        "recipe); auto = when the encoder asset exists",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -255,10 +334,22 @@ def main(argv: Optional[List[str]] = None) -> None:
     train_pars = [paragraphs[i] for i in order[:-hold_n]]
     held_pars = [paragraphs[i] for i in order[-hold_n:]]
 
+    dense = None
+    if args.dense_negatives != "off":
+        filtered = [p for p in train_pars if len(p.split()) >= 16]
+        dense = mine_dense_neighbors(filtered)
+        if dense is None and args.dense_negatives == "on":
+            raise SystemExit("--dense-negatives=on but no encoder asset")
+
     batcher = PromptPairBatcher(
         train_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
-        seq_len=args.seq_len, seed=args.seed,
+        seq_len=args.seq_len, seed=args.seed, dense_neighbors=dense,
     )
+    if dense is not None:
+        # the dense table was mined over the SAME >=16-word filter the
+        # batcher applies — rows must align 1:1
+        assert len(batcher.paragraphs) == dense.shape[0], (
+            len(batcher.paragraphs), dense.shape)
     held = PromptPairBatcher(
         held_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
         seq_len=args.seq_len, seed=args.seed + 1, index_size=10000,
