@@ -15,6 +15,15 @@ Two lessons are baked in from round-2 measurements:
   BM25 index over the corpus: the top lexical hits for the query that do
   NOT come from the source paragraph — the keyword-trap case the serving
   pool is full of.
+* Dense-mined negatives did NOT transfer (v3 negative result): mixing
+  neighbors mined by the committed dense encoder 50/50 with the BM25
+  table lifted held-out pair accuracy (0.844 peak vs v2's 0.842 on
+  HARDER pairs) yet lost end-to-end — best blend 0.800 hit / 0.643 mrr
+  vs v2's 0.800 / 0.678, with the higher-confidence judge degrading
+  fast above 0.25 blend weight (0.7 -> 0.467 hit). The dense neighbors
+  are often near-duplicates of the source paragraph, so "no" supervision
+  on them teaches the judge to reject passages that LOOK like serving
+  positives. --dense-negatives stays available but defaults to off.
 * Ranking needs a pairwise objective. Each example scores the positive
   and the mined negative under the same query, and the loss combines
   binary CE on each yes/no margin (absolute calibration, same read-out as
@@ -280,9 +289,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--eval-every", type=int, default=1600)
     ap.add_argument("--no-exclude-eval", action="store_true")
     ap.add_argument(
-        "--dense-negatives", choices=("auto", "on", "off"), default="auto",
-        help="mine negatives with the committed dense encoder too (v3 "
-        "recipe); auto = when the encoder asset exists",
+        "--dense-negatives", choices=("auto", "on", "off"), default="off",
+        help="mine negatives with the committed dense encoder too; "
+        "auto = when the encoder asset exists. Off by default: the v3 "
+        "run with dense negatives LOST end-to-end (see module lessons)",
     )
     args = ap.parse_args(argv)
 
