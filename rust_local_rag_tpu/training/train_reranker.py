@@ -209,7 +209,10 @@ class PromptPairBatcher:
 
 
 def mine_dense_neighbors(
-    paragraphs: List[str], n_neighbors: int = 4, block: int = 4096
+    paragraphs: List[str],
+    n_neighbors: int = 4,
+    block: int = 4096,
+    max_sim: float = 0.9,
 ) -> Optional[np.ndarray]:
     """[P, n_neighbors] int32 neighbor table mined by the COMMITTED dense
     encoder: for each paragraph, the nearest other paragraphs by cosine —
@@ -249,7 +252,7 @@ def mine_dense_neighbors(
         scores = jnp.einsum(
             "qd,nd->qn", qs, corpus, preferred_element_type=jnp.float32
         )
-        return jax.lax.top_k(scores, n_neighbors + 1)
+        return jax.lax.top_k(scores, n_neighbors + 8)
 
     n = len(paragraphs)
     out = np.full((n, n_neighbors), -1, dtype=np.int32)
@@ -258,10 +261,18 @@ def mine_dense_neighbors(
         qs = corpus[lo:hi]
         if hi - lo < block:  # pad the tail to the compiled shape
             qs = jnp.pad(qs, ((0, block - (hi - lo)), (0, 0)))
-        _, idx = topk_block(qs, corpus)
+        vals, idx = topk_block(qs, corpus)
+        vals = np.asarray(vals)[: hi - lo]
         idx = np.asarray(idx)[: hi - lo]
         for r in range(hi - lo):
-            cands = [int(j) for j in idx[r] if int(j) != lo + r]
+            # drop the paragraph itself AND near-duplicates: supervising
+            # "no" on a passage nearly identical to the positive teaches
+            # the judge to reject serving positives (v3 lesson above)
+            cands = [
+                int(j)
+                for j, v in zip(idx[r], vals[r])
+                if int(j) != lo + r and v <= max_sim
+            ]
             out[lo + r, : len(cands[:n_neighbors])] = cands[:n_neighbors]
     print(
         f"dense-mined {n} paragraphs x {n_neighbors} neighbors in "
@@ -434,6 +445,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     pa, ca = eval_metrics(params, eval_pi, eval_pm, eval_ni, eval_nm)
     print(f"step 0: held-out pair acc {float(pa):.3f} cls acc {float(ca):.3f}")
 
+    best_acc = -1.0
+    best_params = None
+    best_step = 0
     done = 0
     t0 = time.monotonic()
     while done < args.steps:
@@ -461,13 +475,24 @@ def main(argv: Optional[List[str]] = None) -> None:
                 f"cls acc {float(ca):.3f}",
                 flush=True,
             )
+            # keep the BEST held-out checkpoint, not the final step: the
+            # v3 run peaked at 8000/12000 and drifted after
+            score = float(pa) + 0.1 * float(ca)
+            if score > best_acc:
+                best_acc = score
+                best_step = done
+                best_params = jax.device_get(params)
 
+    if best_params is None:
+        best_params = jax.device_get(params)
+        best_step = done
+    print(f"saving best checkpoint from step {best_step}")
     save_params(
-        jax.device_get(params),
+        best_params,
         args.out,
         metadata={
             "reranker_config": cfg.to_json(),
-            "trained_steps": str(args.steps),
+            "trained_steps": str(best_step),
         },
         half=True,
     )
