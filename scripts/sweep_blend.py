@@ -125,6 +125,12 @@ def main() -> int:
             print(name, results[name], flush=True)
         print(json.dumps(results))
         return 0
+    except BaseException:
+        out_path = os.path.join(work, "server.out")
+        if os.path.exists(out_path):
+            print("---- server.out tail ----")
+            print(open(out_path).read()[-4000:])
+        raise
     finally:
         srv.terminate()
         try:
