@@ -142,6 +142,11 @@ def encoder_forward(
     B, L = ids.shape
     H, Dh = cfg.heads, cfg.head_dim
     if fused_attn is None:
+        # imported at call time but OUTSIDE any tracing hazard note: lazy
+        # imports inside traced functions execute module bodies under the
+        # trace — ops/__init__ used to materialize constants as tracers
+        # this way. The attention module itself keeps no device-array
+        # module state, and ops/topk's constants are now python floats.
         from rust_local_rag_tpu.ops.attention import use_fused_attention
 
         fused_attn = use_fused_attention()

@@ -36,7 +36,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python float: trace-safe module constant (see ops/topk.py)
 
 
 @functools.partial(

@@ -31,7 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python float: trace-safe module constant (see ops/topk.py)
 
 # default sparse width for lexical hits: top_k*5 <= 500 (MAX_TOP_K = 100)
 LEX_WIDTH = 512

@@ -59,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 SEG = 128  # segment size == VPU lane width
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python float: trace-safe module constant (see ops/topk.py)
 
 
 def _score_segmax_kernel(q_ref, c_ref, scores_ref, segmax_ref):

@@ -25,7 +25,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # PYTHON float, deliberately not jnp.float32(-inf):
+# a module-level device array materializes as a TRACER if the module's
+# first import happens inside a traced function (measured: encoder_forward
+# lazily imported ops.attention -> ops/__init__ -> this module during a
+# jit trace, permanently corrupting the constant and crashing every later
+# shard_map with "Shouldn't have any non-shard_map tracers")
 
 
 def exact_topk(

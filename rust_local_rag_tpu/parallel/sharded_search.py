@@ -315,7 +315,7 @@ def sharded_hybrid_topk(
     return vals, emb_k, lex_k, idx, sims
 
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # python float: trace-safe module constant (see ops/topk.py)
 
 
 @functools.partial(

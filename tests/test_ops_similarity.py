@@ -140,3 +140,61 @@ def test_exact_topk_agrees_with_streaming(rng):
     v2, i2 = streaming_topk(jnp.asarray(queries), jnp.asarray(corpus), k, tile_n=128)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_module_constants_are_trace_safe():
+    """Module-level device arrays become PERMANENT tracers if the module's
+    first import happens inside a traced function (measured: encoder_forward
+    lazily imported ops.attention -> ops/__init__ -> ops.topk during a jit
+    trace, corrupting ops.topk.NEG_INF and crashing every later shard_map).
+    All hot-path module constants must therefore be plain python scalars."""
+    import importlib
+
+    import jax
+
+    mods = [
+        "rust_local_rag_tpu.ops.topk",
+        "rust_local_rag_tpu.ops.fast_topk",
+        "rust_local_rag_tpu.ops.pallas_topk",
+        "rust_local_rag_tpu.ops.hybrid",
+        "rust_local_rag_tpu.ops.mmr",
+        "rust_local_rag_tpu.parallel.sharded_search",
+    ]
+    for name in mods:
+        m = importlib.import_module(name)
+        assert isinstance(m.NEG_INF, float), (name, type(m.NEG_INF))
+        for attr, v in vars(m).items():
+            assert not isinstance(v, jax.Array), (
+                f"{name}.{attr} is a module-level jax.Array — import-order "
+                "tracing hazard (see ops/topk.py NEG_INF note)"
+            )
+
+
+def test_lazy_import_under_trace_does_not_corrupt_constants():
+    """Reproduce the hazard end to end: force a FRESH import of ops.topk
+    inside a jit trace, then verify its constants stayed concrete."""
+    import importlib
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    saved = {
+        k: sys.modules.pop(k)
+        for k in list(sys.modules)
+        if k.startswith("rust_local_rag_tpu.ops")
+    }
+    try:
+        def traced(x):
+            from rust_local_rag_tpu.ops import topk  # first import, traced
+
+            return x + topk.NEG_INF
+
+        out = jax.jit(traced)(jnp.float32(1.0))
+        assert out == float("-inf")
+        import rust_local_rag_tpu.ops.topk as topk
+
+        assert isinstance(topk.NEG_INF, float)
+    finally:
+        sys.modules.update(saved)
+        importlib.reload(importlib.import_module("rust_local_rag_tpu.ops.topk"))
