@@ -88,6 +88,45 @@ def info_nce_loss(
     return 0.5 * (loss_qp + loss_pq)
 
 
+def info_nce_loss_hn(
+    params: Dict,
+    q_ids: jax.Array,
+    q_mask: jax.Array,
+    p_ids: jax.Array,
+    p_mask: jax.Array,
+    n_ids: jax.Array,
+    n_mask: jax.Array,
+    cfg: EncoderConfig,
+    temperature: float = 0.05,
+) -> jax.Array:
+    """InfoNCE with explicit hard negatives (DPR-style).
+
+    Each query scores against [positives; mined hard negatives] — a
+    [B, 2B] softmax where column i is the positive and column B+i is the
+    query's OWN BM25-mined keyword trap (other rows' negatives act as
+    extra in-batch negatives). The passage->query direction only uses the
+    positive block (hard negatives have no paired query).
+    """
+    q = encoder_forward(params, q_ids, q_mask, cfg, fused_attn=False)
+    p = encoder_forward(params, p_ids, p_mask, cfg, fused_attn=False)
+    n = encoder_forward(params, n_ids, n_mask, cfg, fused_attn=False)
+    logits_p = (
+        jnp.einsum("bd,cd->bc", q, p, preferred_element_type=jnp.float32)
+        / temperature
+    )
+    logits_n = (
+        jnp.einsum("bd,cd->bc", q, n, preferred_element_type=jnp.float32)
+        / temperature
+    )
+    logits = jnp.concatenate([logits_p, logits_n], axis=1)
+    labels = jnp.arange(logits_p.shape[0])
+    loss_qp = -jnp.mean(jax.nn.log_softmax(logits, axis=1)[labels, labels])
+    loss_pq = -jnp.mean(
+        jax.nn.log_softmax(logits_p.T, axis=1)[labels, labels]
+    )
+    return 0.5 * (loss_qp + loss_pq)
+
+
 def make_train_step(mesh: Mesh, cfg: EncoderConfig, lr: float = 1e-4):
     """Build the jitted distributed SGD train step.
 
@@ -170,6 +209,45 @@ def make_optax_scan_step(
             data_spec,
             data_spec,
         ),
+        out_shardings=(param_shardings, None, replicated),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_optax_scan_step_hn(
+    mesh: Mesh,
+    cfg: EncoderConfig,
+    tx,
+    temperature: float = 0.05,
+):
+    """make_optax_scan_step with hard negatives: inputs are [S, B, L]
+    stacks of (q_ids, q_mask, p_ids, p_mask, n_ids, n_mask) and the loss
+    is info_nce_loss_hn. Sharding identical (batch on "data", params per
+    param_partition_specs, donated)."""
+    data_spec = NamedSharding(mesh, P(None, "data", None))
+    replicated = NamedSharding(mesh, P())
+    param_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_partition_specs(cfg)
+    )
+
+    def one_step(carry, batch):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(info_nce_loss_hn)(
+            params, *batch, cfg, temperature
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def step(params, opt_state, qi, qm, pi, pm, ni, nm):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), (qi, qm, pi, pm, ni, nm)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    return jax.jit(
+        step,
+        in_shardings=(param_shardings, None) + (data_spec,) * 6,
         out_shardings=(param_shardings, None, replicated),
         donate_argnums=(0, 1),
     )

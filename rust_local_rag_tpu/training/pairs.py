@@ -18,6 +18,7 @@ slices; batches are fixed-shape int32 arrays for the jitted train step):
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -67,13 +68,17 @@ class PairBatcher:
         self.d_prefix = _prefix_ids(doc_prefix)
         # tokenize once, strip specials, keep paragraphs long enough to crop
         self.docs: List[np.ndarray] = []
+        self.texts: List[str] = []  # aligned with self.docs (for mining)
         encs = tk.encode_batch(list(paragraphs))
-        for e in encs:
+        for text, e in zip(paragraphs, encs):
             ids = [i for i in e.ids if i not in (self.cls_id, self.sep_id)]
             if len(ids) >= CROP_MIN + 4:
                 self.docs.append(np.asarray(ids, dtype=np.int32))
+                self.texts.append(text)
         if not self.docs:
             raise ValueError("no paragraphs long enough to crop")
+        # [D, n] int32 BM25-neighbor table (premine_hard_negatives), -1 pad
+        self.neighbors: Optional[np.ndarray] = None
 
     def _crop(self, ids: np.ndarray) -> np.ndarray:
         n = len(ids)
@@ -195,6 +200,136 @@ class PairBatcher:
         q_ids, q_mask = self._pack_len(qs, Q_LEN, self.q_prefix)
         p_ids, p_mask = self._pack_len(ps, p_len, self.d_prefix)
         return q_ids, q_mask, p_ids, p_mask
+
+    def premine_hard_negatives(
+        self,
+        index_size: int = 50000,
+        n_neighbors: int = 4,
+        threads: int = 8,
+    ) -> None:
+        """Pre-mine a [D, n_neighbors] BM25-neighbor table over self.docs.
+
+        Same recipe the reranker trainer proved out (train_reranker.py
+        header, v2 lesson): per-example live BM25 queries are ~60 ms of
+        host time each, so each doc is mined ONCE against a canonical
+        word crop; the mined neighbor is the keyword-trap paragraph that
+        shares the source's vocabulary, which is exactly the in-batch
+        confusable the serving hybrid pool surfaces. -1 = no mined hit
+        (batching falls back to a random negative).
+        """
+        import hashlib
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
+
+        # ~30 min of single-core host time at 184k docs: cache the table
+        # on disk keyed by (corpus, mining params, rng position)
+        h = hashlib.sha256()
+        h.update(f"{index_size}|{n_neighbors}|".encode())
+        h.update(str(self.rng.bit_generator.state).encode())
+        for t in self.texts:
+            h.update(t.encode())
+            h.update(b"\0")
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "rag_tpu_premine",
+            h.hexdigest()[:24] + ".npy",
+        )
+        if os.path.exists(cache):
+            self.neighbors = np.load(cache)
+            # keep the rng stream identical to the mining path
+            self.rng.permutation(len(self.texts))
+            self.rng.integers(2**31)
+            print(f"premine cache hit: {cache}")
+            return
+
+        bm25 = make_lexical_index()
+        sample = self.rng.permutation(len(self.texts))[:index_size]
+        for i in sample:
+            bm25.add_chunk(str(int(i)), self.texts[int(i)])
+
+        n = len(self.texts)
+        out = np.full((n, n_neighbors), -1, dtype=np.int32)
+        crop_rng = np.random.default_rng(int(self.rng.integers(2**31)))
+        crops = []
+        for p in self.texts:
+            words = p.split()
+            qlen = int(crop_rng.integers(3, 13))
+            start = int(crop_rng.integers(0, max(len(words) - qlen, 1)))
+            crops.append(" ".join(words[start : start + qlen]))
+
+        def mine(span):
+            lo, hi = span
+            for i in range(lo, hi):
+                hits = bm25.score(crops[i], n_neighbors + 1)
+                cands = [int(c) for c, _ in hits if int(c) != i]
+                out[i, : len(cands[:n_neighbors])] = cands[:n_neighbors]
+
+        step = (n + threads - 1) // threads
+        spans = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        t0 = _time.monotonic()
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(mine, spans))
+        print(
+            f"pre-mined {n} docs x {n_neighbors} BM25 hard negatives "
+            f"in {_time.monotonic() - t0:.1f}s"
+        )
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, out)
+        os.replace(tmp, cache)
+        self.neighbors = out
+
+    def _negative_index(self, i: int) -> int:
+        """A mined BM25 neighbor of doc i, or a random other doc."""
+        if self.neighbors is not None:
+            row = self.neighbors[i]
+            cands = row[row >= 0]
+            if len(cands):
+                return int(cands[self.rng.integers(0, len(cands))])
+        j = int(self.rng.integers(0, len(self.docs) - 1))
+        return j + (j >= i)
+
+    def mixed_hn_batch(self, batch_size: int, p_len: int = P_LEN):
+        """mixed_batch plus a hard-negative passage per example:
+        -> (q_ids, q_mask, p_ids, p_mask, n_ids, n_mask). The negative is
+        a random crop of a BM25 neighbor of the SOURCE doc, packed at the
+        same passage length (DPR-style explicit hard negatives on top of
+        the in-batch ones)."""
+        idx = self.rng.integers(0, len(self.docs), size=batch_size)
+        qs, ps, ns = [], [], []
+        for i in idx:
+            ids = self.docs[i]
+            r = self.rng.random()
+            if r < 0.5:
+                q, p = self._ict_pair(ids)
+            elif r < 0.75:
+                qlen = min(int(self.rng.integers(Q_MIN, Q_MAX + 1)), len(ids) - 8)
+                q, p = ids[:qlen], ids[qlen:]
+            else:
+                q = self._crop(ids)[: Q_LEN - 2 - len(self.q_prefix)]
+                p = self._crop(ids)
+            qs.append(q)
+            ps.append(p)
+            nd = self.docs[self._negative_index(int(i))]
+            # full lead slice, not a random crop: serving passages start
+            # at sentence boundaries, and the lead carries the heading-ish
+            # context BM25 matched on
+            ns.append(nd)
+        q_ids, q_mask = self._pack_len(qs, Q_LEN, self.q_prefix)
+        p_ids, p_mask = self._pack_len(ps, p_len, self.d_prefix)
+        n_ids, n_mask = self._pack_len(ns, p_len, self.d_prefix)
+        return q_ids, q_mask, p_ids, p_mask, n_ids, n_mask
+
+    def mixed_hn_stacked_batches(
+        self, n_steps: int, batch_size: int, p_len: int = P_LEN
+    ):
+        cols = [[] for _ in range(6)]
+        for _ in range(n_steps):
+            for col, arr in zip(cols, self.mixed_hn_batch(batch_size, p_len)):
+                col.append(arr)
+        return tuple(np.stack(c) for c in cols)
 
     def mixed_stacked_batches(
         self, n_steps: int, batch_size: int, p_len: int = P_LEN

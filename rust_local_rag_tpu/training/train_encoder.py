@@ -88,6 +88,19 @@ def main(argv: Optional[List[str]] = None) -> None:
         "prefixes (default); ict = short query crop vs source passage; "
         "symmetric = Contriever-style crop pairs",
     )
+    ap.add_argument(
+        "--init",
+        default=None,
+        help="warm-start from an existing checkpoint (architecture args "
+        "are ignored; the config embedded in the checkpoint wins)",
+    )
+    ap.add_argument(
+        "--hard-negatives",
+        action="store_true",
+        help="DPR-style explicit hard negatives: each pair additionally "
+        "carries a BM25-mined keyword-trap passage (premined once, "
+        "train_reranker.py's proven recipe) in the InfoNCE denominator",
+    )
     ap.add_argument("--eval-every", type=int, default=1600)
     ap.add_argument("--eval-bank", type=int, default=1024)
     ap.add_argument("--holdout", type=int, default=2048,
@@ -162,7 +175,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     held = PairBatcher(held_pars, tokenizer, seed=args.seed, **prefixes)
     if args.objective == "mixed":
         bank = held.ict_eval_bank(args.eval_bank)
-        make_batches = batcher.mixed_stacked_batches
+        if args.hard_negatives:
+            batcher.premine_hard_negatives()
+            make_batches = batcher.mixed_hn_stacked_batches
+        else:
+            make_batches = batcher.mixed_stacked_batches
     elif args.objective == "ict":
         bank = held.ict_eval_bank(args.eval_bank)
         make_batches = batcher.ict_stacked_batches
@@ -174,15 +191,25 @@ def main(argv: Optional[List[str]] = None) -> None:
         f"({args.objective})"
     )
 
-    cfg = EncoderConfig(
-        vocab_size=tokenizer.vocab_size,
-        dim=args.dim,
-        depth=args.depth,
-        heads=args.heads,
-        ffn_dim=args.ffn,
-        out_dim=args.out_dim,
-    )
-    params = init_encoder_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.init:
+        from rust_local_rag_tpu.models.encoder import load_encoder_checkpoint_full
+
+        params, cfg, init_meta = load_encoder_checkpoint_full(args.init)
+        print(
+            f"warm start from {args.init} "
+            f"(steps={init_meta.get('trained_steps')}, cfg {cfg.depth}L x "
+            f"{cfg.dim}d -> {cfg.out_dim})"
+        )
+    else:
+        cfg = EncoderConfig(
+            vocab_size=tokenizer.vocab_size,
+            dim=args.dim,
+            depth=args.depth,
+            heads=args.heads,
+            ffn_dim=args.ffn,
+            out_dim=args.out_dim,
+        )
+        params = init_encoder_params(jax.random.PRNGKey(args.seed), cfg)
 
     devices = jax.devices()
     mesh = Mesh(np.array(devices).reshape(len(devices), 1), ("data", "model"))
@@ -196,7 +223,12 @@ def main(argv: Optional[List[str]] = None) -> None:
         optax.adamw(schedule, weight_decay=args.weight_decay),
     )
     opt_state = tx.init(params)
-    step_fn = make_optax_scan_step(mesh, cfg, tx, args.temperature)
+    if args.hard_negatives:
+        from rust_local_rag_tpu.parallel.train import make_optax_scan_step_hn
+
+        step_fn = make_optax_scan_step_hn(mesh, cfg, tx, args.temperature)
+    else:
+        step_fn = make_optax_scan_step(mesh, cfg, tx, args.temperature)
 
     acc0 = retrieval_accuracy(params, cfg, bank)
     print(f"step 0: held-out retrieval acc {acc0:.3f} (chance "
@@ -204,6 +236,7 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     from rust_local_rag_tpu.training.pairs import P_LEN
 
+    best_acc, best_params, best_step = acc0 if args.init else -1.0, None, 0
     done = 0
     dispatch = 0
     t0 = time.monotonic()
@@ -214,17 +247,16 @@ def main(argv: Optional[List[str]] = None) -> None:
             # bucket (256) so rope/pooling see full-length chunks;
             # two compiled programs total
             p_len = 256 if dispatch % 4 == 3 else P_LEN
-            qi, qm, pi, pm = make_batches(s, args.batch, p_len)
+            batch = make_batches(s, args.batch, p_len)
         else:
-            qi, qm, pi, pm = make_batches(s, args.batch)
+            batch = make_batches(s, args.batch)
         dispatch += 1
         if s < args.scan:  # pad the scan axis to keep one compiled shape
             reps = args.scan - s
-            qi = np.concatenate([qi, qi[-1:].repeat(reps, 0)])
-            qm = np.concatenate([qm, qm[-1:].repeat(reps, 0)])
-            pi = np.concatenate([pi, pi[-1:].repeat(reps, 0)])
-            pm = np.concatenate([pm, pm[-1:].repeat(reps, 0)])
-        params, opt_state, loss = step_fn(params, opt_state, qi, qm, pi, pm)
+            batch = tuple(
+                np.concatenate([a, a[-1:].repeat(reps, 0)]) for a in batch
+            )
+        params, opt_state, loss = step_fn(params, opt_state, *batch)
         done += args.scan
         if done % max(args.scan * 4, 64) == 0 or done >= args.steps:
             dt = time.monotonic() - t0
@@ -237,13 +269,19 @@ def main(argv: Optional[List[str]] = None) -> None:
         if args.eval_every and (done % args.eval_every == 0 or done >= args.steps):
             acc = retrieval_accuracy(params, cfg, bank)
             print(f"step {done}: held-out retrieval acc {acc:.3f}", flush=True)
+            if acc > best_acc:
+                best_acc, best_step = acc, done
+                best_params = jax.device_get(params)
 
+    if best_params is None:  # never improved (or eval disabled): save final
+        best_params, best_step = jax.device_get(params), done
+    print(f"saving best checkpoint from step {best_step} (acc {best_acc:.3f})")
     save_params(
-        jax.device_get(params),
+        best_params,
         args.out,
         metadata={
             "encoder_config": cfg.to_json(),
-            "trained_steps": str(args.steps),
+            "trained_steps": str(best_step),
             "train_paragraphs": str(len(train_pars)),
             "objective": args.objective,
             **(

@@ -275,3 +275,54 @@ def test_reranker_prompt_pair_batcher():
     assert pm.sum() > 0 and nm.sum() > 0
     # positive and negative prompts differ (different chunk text)
     assert (pi != ni).any()
+
+
+@needs_tokenizer
+def test_hard_negative_batcher_and_loss_step():
+    """mixed_hn_batch mines BM25 neighbors (keyword traps) and the
+    hard-negative InfoNCE step runs and reduces loss on a tiny model."""
+    import optax
+    from jax.sharding import Mesh
+
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.parallel.train import (
+        make_optax_scan_step_hn,
+        shard_params,
+    )
+    from rust_local_rag_tpu.training.pairs import PairBatcher
+
+    pars = [
+        f"Distinct topic {i}: the quorum protocol qqword{i} elects a "
+        "leader replica and replicates the ordered log to follower nodes "
+        "with bounded staleness under partial network partitions."
+        for i in range(24)
+    ]
+    b = PairBatcher(pars, HfTokenizer(ASSET_TOK), seed=0)
+    b.premine_hard_negatives(index_size=24, n_neighbors=2, threads=2)
+    assert b.neighbors is not None and b.neighbors.shape == (len(b.docs), 2)
+    # mined neighbors never point at the source doc itself
+    for i in range(len(b.docs)):
+        assert i not in set(b.neighbors[i][b.neighbors[i] >= 0].tolist())
+
+    qi, qm, pi, pm, ni, nm = b.mixed_hn_batch(4, p_len=64)
+    assert qi.shape == (4, 32) and pi.shape == (4, 64) and ni.shape == (4, 64)
+    assert nm.sum() > 0 and (pi != ni).any()
+
+    cfg = EncoderConfig(
+        vocab_size=HfTokenizer(ASSET_TOK).vocab_size,
+        dim=32, depth=1, heads=2, ffn_dim=64, max_len=64,
+        activation_dtype="float32", out_dim=32,
+    )
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    devices = jax.devices()
+    mesh = Mesh(np.array(devices).reshape(len(devices), 1), ("data", "model"))
+    params = shard_params(params, mesh, cfg)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_optax_scan_step_hn(mesh, cfg, tx)
+    batch = b.mixed_hn_stacked_batches(2, 8, p_len=64)
+    params, opt_state, loss0 = step(params, opt_state, *batch)
+    for _ in range(6):
+        batch = b.mixed_hn_stacked_batches(2, 8, p_len=64)
+        params, opt_state, loss = step(params, opt_state, *batch)
+    assert float(loss) < float(loss0)
