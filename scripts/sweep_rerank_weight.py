@@ -65,12 +65,19 @@ def main() -> int:
         stderr=subprocess.STDOUT,
     )
     try:
-        for _ in range(240):
+        for _ in range(900):  # tunnel compiles can take minutes
             try:
                 if requests.get(f"{base}/readyz", timeout=3).status_code == 200:
                     break
             except requests.RequestException:
                 pass
+            if srv.poll() is not None:
+                out = os.path.join(work, "server.out")
+                if os.path.exists(out):
+                    with open(out) as f:
+                        print("---- server.out tail ----")
+                        print("".join(f.readlines()[-40:]))
+                raise RuntimeError(f"server died (exit {srv.returncode})")
             time.sleep(2)
         requests.post(f"{base}/reindex", timeout=10)
         for _ in range(600):
