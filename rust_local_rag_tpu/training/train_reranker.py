@@ -102,7 +102,27 @@ class PromptPairBatcher:
         C call and is read-only on the index (native/lexical.cpp
         score_tokens builds only kernel-local state).
         """
+        import hashlib
         from concurrent.futures import ThreadPoolExecutor
+
+        # ~25 min of single-core host time at 180k paragraphs: cache the
+        # table on disk keyed by (corpus, params, rng position) — the rng
+        # state at entry covers both the seed and the index-sample draw
+        # (same recipe as training/pairs.py premine_hard_negatives)
+        h = hashlib.sha256()
+        h.update(f"rr|{n_neighbors}|".encode())
+        h.update(str(self.rng.bit_generator.state).encode())
+        for t in self.paragraphs:
+            h.update(t.encode())
+            h.update(b"\0")
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "rag_tpu_premine",
+            h.hexdigest()[:24] + ".npy",
+        )
+        if os.path.exists(cache):
+            self.rng.integers(2**31)  # keep the rng stream identical
+            print(f"premine cache hit: {cache}")
+            return np.load(cache)
 
         n = len(self.paragraphs)
         out = np.full((n, n_neighbors), -1, dtype=np.int32)
@@ -130,6 +150,11 @@ class PromptPairBatcher:
             f"pre-mined {n} paragraphs x {n_neighbors} BM25 negatives "
             f"in {time.monotonic() - t0:.1f}s"
         )
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, out)
+        os.replace(tmp, cache)
         return out
 
     def _query_and_passage(self, para: str) -> Tuple[str, str]:
