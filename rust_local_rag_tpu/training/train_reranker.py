@@ -24,6 +24,13 @@ Two lessons are baked in from round-2 measurements:
   are often near-duplicates of the source paragraph, so "no" supervision
   on them teaches the judge to reject passages that LOOK like serving
   positives. --dense-negatives stays available but defaults to off.
+  Re-confirmed (v4 negative result): after the near-duplicate filter was
+  added and the mining encoder upgraded to the v4 hard-negative asset, a
+  6k-step --dense-negatives=on run still lost end-to-end — 0.778 hit /
+  0.637 mrr vs the shipped v3b's 0.844 / 0.686 at the same 0.35 blend,
+  despite 0.846 held-out pair accuracy. The filter (cosine > 0.9 cut) is
+  not sufficient: paraphrase-level near-positives below the cut still
+  dominate the mined set. BM25-only negatives remain the recipe.
 * Ranking needs a pairwise objective. Each example scores the positive
   and the mined negative under the same query, and the loss combines
   binary CE on each yes/no margin (absolute calibration, same read-out as
