@@ -1,0 +1,196 @@
+"""Dense hard-negative mining and cross-encoder denoising.
+
+Shared by the encoder and reranker trainers. Two pieces:
+
+* ``mine_dense_neighbors`` — nearest-paragraph table under the COMMITTED
+  dense encoder: the semantically-adjacent near-misses the serving hybrid
+  pool surfaces that BM25 mining cannot see (moved here from
+  train_reranker.py, which keeps importing it).
+* ``denoise_with_reranker`` — RocketQA-style false-negative filter
+  (Qu et al. 2021): dense-mined neighbors are dominated by paraphrase-level
+  TRUE answers, and the recorded reranker v3/v4 negative results show a
+  cosine near-duplicate cut (>0.9) alone is not sufficient — paraphrase
+  near-positives below the cut still dominate. Here every surviving
+  neighbor is additionally judged by the committed cross-encoder reranker
+  against a canonical query crop of its source paragraph; neighbors the
+  judge answers "yes" to (margin above threshold) are presumed false
+  negatives and dropped. Only confidently-"no" neighbors survive as
+  training negatives.
+
+Reference behavior anchor: the reference trains nothing (it consumes
+Ollama-served pretrained models, /root/reference/src/embeddings.rs:60-182);
+this subsystem exists because the zero-egress environment has no pretrained
+checkpoint to convert, so retrieval quality must be trained in-repo.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def mine_dense_neighbors(
+    paragraphs: List[str],
+    n_neighbors: int = 4,
+    block: int = 4096,
+    max_sim: float = 0.9,
+) -> Optional[np.ndarray]:
+    """[P, n_neighbors] int32 neighbor table mined by the COMMITTED dense
+    encoder: for each paragraph, the nearest other paragraphs by cosine —
+    the semantically-adjacent near-misses the hybrid first stage surfaces
+    that BM25 mining cannot see. Returns None when no trained encoder
+    asset exists (v2-recipe fallback)."""
+    from rust_local_rag_tpu.models.encoder import default_asset
+
+    if not default_asset("encoder.safetensors"):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from rust_local_rag_tpu.models.embedding_service import (
+        build_default_service,
+    )
+
+    svc = build_default_service()
+    t0 = time.monotonic()
+    embs = []
+    # modest per-dispatch batch: paragraphs bucket up to the encoder's
+    # 512-token cap, and a 4096-wide forward at L=512 allocates a 34 GB
+    # attention tensor (measured OOM) — 256 keeps it under 2 GB
+    step = 256
+    for lo in range(0, len(paragraphs), step):
+        embs.append(
+            np.asarray(svc.embed_texts(paragraphs[lo : lo + step]))
+        )
+    embs = np.concatenate(embs).astype(np.float32)
+    embs /= np.maximum(
+        np.linalg.norm(embs, axis=1, keepdims=True), 1e-10
+    )
+    corpus = jnp.asarray(embs, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def topk_block(qs, corpus):
+        scores = jnp.einsum(
+            "qd,nd->qn", qs, corpus, preferred_element_type=jnp.float32
+        )
+        return jax.lax.top_k(scores, n_neighbors + 8)
+
+    n = len(paragraphs)
+    out = np.full((n, n_neighbors), -1, dtype=np.int32)
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        qs = corpus[lo:hi]
+        if hi - lo < block:  # pad the tail to the compiled shape
+            qs = jnp.pad(qs, ((0, block - (hi - lo)), (0, 0)))
+        vals, idx = topk_block(qs, corpus)
+        vals = np.asarray(vals)[: hi - lo]
+        idx = np.asarray(idx)[: hi - lo]
+        for r in range(hi - lo):
+            # drop the paragraph itself AND near-duplicates: supervising
+            # "no" on a passage nearly identical to the positive teaches
+            # the judge to reject serving positives (train_reranker.py v3
+            # lesson)
+            cands = [
+                int(j)
+                for j, v in zip(idx[r], vals[r])
+                if int(j) != lo + r and v <= max_sim
+            ]
+            out[lo + r, : len(cands[:n_neighbors])] = cands[:n_neighbors]
+    print(
+        f"dense-mined {n} paragraphs x {n_neighbors} neighbors in "
+        f"{time.monotonic() - t0:.1f}s"
+    )
+    return out
+
+
+def canonical_crops(texts: List[str], seed: int = 987) -> List[str]:
+    """One deterministic 3–12-word crop per paragraph — the same query
+    distribution the BM25 premine and the reranker trainer draw from
+    (train_reranker.PromptPairBatcher._query_and_passage)."""
+    rng = np.random.default_rng(seed)
+    crops = []
+    for p in texts:
+        words = p.split()
+        qlen = int(rng.integers(3, 13))
+        start = int(rng.integers(0, max(len(words) - qlen, 1)))
+        crops.append(" ".join(words[start : start + qlen]))
+    return crops
+
+
+def denoise_with_reranker(
+    texts: List[str],
+    table: np.ndarray,
+    margin: float = 0.0,
+    batch: int = 512,
+    seed: int = 987,
+) -> Tuple[np.ndarray, dict]:
+    """Drop presumed false negatives from a mined neighbor table.
+
+    For each valid (source i, neighbor j) the committed reranker scores the
+    serving prompt built from a canonical query crop of ``texts[i]``
+    against ``texts[j]``; entries whose yes/no logit margin exceeds
+    ``margin`` are judged to actually ANSWER the query (false negatives —
+    paraphrase-level true matches) and replaced with -1. Returns the
+    filtered copy and summary stats. Requires a trained reranker asset;
+    raises if only the seeded-random fallback would load (filtering with a
+    random judge would silently keep every false negative).
+    """
+    from rust_local_rag_tpu.models.encoder import default_asset
+    from rust_local_rag_tpu.models.reranker import TransformerReranker
+    from rust_local_rag_tpu.models.reranker_service import (
+        DEFAULT_PROMPT_TEMPLATE,
+    )
+
+    if not default_asset("reranker.safetensors"):
+        raise RuntimeError(
+            "denoise_with_reranker needs the trained reranker asset"
+        )
+    judge = TransformerReranker()
+
+    pairs = [
+        (i, k)
+        for i in range(table.shape[0])
+        for k in range(table.shape[1])
+        if table[i, k] >= 0
+    ]
+    crops = canonical_crops(texts, seed=seed)
+    out = table.copy()
+    margins = np.empty(len(pairs), dtype=np.float32)
+    t0 = time.monotonic()
+    for lo in range(0, len(pairs), batch):
+        span = pairs[lo : lo + batch]
+        prompts = [
+            DEFAULT_PROMPT_TEMPLATE.format(
+                query=crops[i],
+                document="corpus.pdf",
+                page="1",
+                section="N/A",
+                text=texts[int(table[i, k])],
+            )
+            for i, k in span
+        ]
+        scored = judge.score_prompts(prompts)
+        for off, (_, yes_lp, no_lp) in enumerate(scored):
+            margins[lo + off] = yes_lp - no_lp
+    dropped = 0
+    for n_, (i, k) in enumerate(pairs):
+        if margins[n_] > margin:
+            out[i, k] = -1
+            dropped += 1
+    stats = {
+        "pairs": len(pairs),
+        "dropped": dropped,
+        "drop_frac": dropped / max(len(pairs), 1),
+        "margin_p50": float(np.median(margins)) if len(pairs) else 0.0,
+        "margin_p90": float(np.percentile(margins, 90)) if len(pairs) else 0.0,
+        "seconds": time.monotonic() - t0,
+    }
+    print(
+        f"reranker denoise: {stats['dropped']}/{stats['pairs']} neighbors "
+        f"judged false-negative ({100 * stats['drop_frac']:.1f}%) in "
+        f"{stats['seconds']:.1f}s (margin p50 {stats['margin_p50']:.2f}, "
+        f"p90 {stats['margin_p90']:.2f})"
+    )
+    return out, stats

@@ -79,6 +79,10 @@ class PairBatcher:
             raise ValueError("no paragraphs long enough to crop")
         # [D, n] int32 BM25-neighbor table (premine_hard_negatives), -1 pad
         self.neighbors: Optional[np.ndarray] = None
+        # optional [D, n] table mined by the committed dense encoder and
+        # denoised by the committed reranker (training/mining.py, encoder
+        # v5 recipe); when present, half the mined negatives draw from it
+        self.dense_neighbors: Optional[np.ndarray] = None
 
     def _crop(self, ids: np.ndarray) -> np.ndarray:
         n = len(ids)
@@ -281,11 +285,73 @@ class PairBatcher:
         os.replace(tmp, cache)
         self.neighbors = out
 
+    def premine_dense_negatives(
+        self, n_neighbors: int = 4, margin: float = 0.0
+    ) -> dict:
+        """Mine a [D, n_neighbors] dense-neighbor table with the committed
+        encoder and denoise it with the committed reranker (encoder v5
+        recipe, training/mining.py). Cached on disk keyed by the corpus,
+        the mining params, AND both model assets — remining is ~15 min of
+        device time. Returns the denoise stats (empty dict on cache hit).
+        """
+        import hashlib
+        import json
+
+        from rust_local_rag_tpu.models.encoder import default_asset
+        from rust_local_rag_tpu.training.mining import (
+            denoise_with_reranker,
+            mine_dense_neighbors,
+        )
+
+        h = hashlib.sha256()
+        h.update(f"dense|{n_neighbors}|{margin}|".encode())
+        for asset in ("encoder.safetensors", "reranker.safetensors"):
+            p = default_asset(asset)
+            st = os.stat(p) if p and os.path.exists(p) else None
+            h.update(
+                f"{asset}:{st.st_size}:{st.st_mtime_ns}|".encode()
+                if st
+                else f"{asset}:none|".encode()
+            )
+        for t in self.texts:
+            h.update(t.encode())
+            h.update(b"\0")
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "rag_tpu_premine",
+            "dense_" + h.hexdigest()[:24] + ".npz",
+        )
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                self.dense_neighbors = z["table"]
+                stats = json.loads(str(z["stats"]))
+            print(f"dense premine cache hit: {cache}")
+            return stats
+        table = mine_dense_neighbors(self.texts, n_neighbors=n_neighbors)
+        if table is None:
+            raise RuntimeError(
+                "premine_dense_negatives needs the trained encoder asset"
+            )
+        table, stats = denoise_with_reranker(self.texts, table, margin=margin)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, table=table, stats=json.dumps(stats))
+        os.replace(tmp, cache)
+        self.dense_neighbors = table
+        return stats
+
     def _negative_index(self, i: int) -> int:
-        """A mined BM25 neighbor of doc i, or a random other doc."""
+        """A mined neighbor of doc i (50/50 BM25 keyword trap vs denoised
+        dense near-miss when both tables exist), or a random other doc."""
+        rows = []
         if self.neighbors is not None:
-            row = self.neighbors[i]
-            cands = row[row >= 0]
+            rows.append(self.neighbors[i])
+        if self.dense_neighbors is not None:
+            rows.append(self.dense_neighbors[i])
+            if len(rows) == 2 and self.rng.random() < 0.5:
+                rows.reverse()  # try the dense table first
+        for row in rows:  # denoised rows may be empty: fall through
+            cands = row[(row >= 0) & (row != i)]
             if len(cands):
                 return int(cands[self.rng.integers(0, len(cands))])
         j = int(self.rng.integers(0, len(self.docs) - 1))

@@ -101,6 +101,21 @@ def main(argv: Optional[List[str]] = None) -> None:
         "carries a BM25-mined keyword-trap passage (premined once, "
         "train_reranker.py's proven recipe) in the InfoNCE denominator",
     )
+    ap.add_argument(
+        "--dense-negatives",
+        action="store_true",
+        help="v5 recipe: ALSO mine negatives with the committed dense "
+        "encoder and denoise them with the committed reranker "
+        "(training/mining.py); mined negatives then draw 50/50 from the "
+        "BM25 and dense tables. Implies --hard-negatives.",
+    )
+    ap.add_argument(
+        "--dense-margin",
+        type=float,
+        default=0.0,
+        help="reranker yes/no logit-margin above which a dense-mined "
+        "neighbor is judged a false negative and dropped",
+    )
     ap.add_argument("--eval-every", type=int, default=1600)
     ap.add_argument("--eval-bank", type=int, default=1024)
     ap.add_argument("--holdout", type=int, default=2048,
@@ -111,6 +126,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         help="do NOT hold the quality-eval corpus passages out of training",
     )
     args = ap.parse_args(argv)
+    if args.dense_negatives:
+        args.hard_negatives = True
 
     import jax
     from jax.sharding import Mesh
@@ -177,6 +194,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         bank = held.ict_eval_bank(args.eval_bank)
         if args.hard_negatives:
             batcher.premine_hard_negatives()
+            if args.dense_negatives:
+                batcher.premine_dense_negatives(margin=args.dense_margin)
             make_batches = batcher.mixed_hn_stacked_batches
         else:
             make_batches = batcher.mixed_stacked_batches

@@ -47,6 +47,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from rust_local_rag_tpu.training.mining import mine_dense_neighbors  # noqa: F401 (re-export; the function moved to mining.py)
+
 
 def _default_out() -> str:
     return os.path.join(
@@ -238,79 +240,6 @@ class PromptPairBatcher:
             for c, arr in zip(cols, self.batch(batch_size)):
                 c.append(arr)
         return tuple(np.stack(c) for c in cols)
-
-
-def mine_dense_neighbors(
-    paragraphs: List[str],
-    n_neighbors: int = 4,
-    block: int = 4096,
-    max_sim: float = 0.9,
-) -> Optional[np.ndarray]:
-    """[P, n_neighbors] int32 neighbor table mined by the COMMITTED dense
-    encoder: for each paragraph, the nearest other paragraphs by cosine —
-    the semantically-adjacent near-misses the hybrid first stage surfaces
-    that BM25 mining cannot see. Returns None when no trained encoder
-    asset exists (v2-recipe fallback)."""
-    from rust_local_rag_tpu.models.encoder import default_asset
-
-    if not default_asset("encoder.safetensors"):
-        return None
-    import jax
-    import jax.numpy as jnp
-
-    from rust_local_rag_tpu.models.embedding_service import (
-        build_default_service,
-    )
-
-    svc = build_default_service()
-    t0 = time.monotonic()
-    embs = []
-    # modest per-dispatch batch: paragraphs bucket up to the encoder's
-    # 512-token cap, and a 4096-wide forward at L=512 allocates a 34 GB
-    # attention tensor (measured OOM) — 256 keeps it under 2 GB
-    step = 256
-    for lo in range(0, len(paragraphs), step):
-        embs.append(
-            np.asarray(svc.embed_texts(paragraphs[lo : lo + step]))
-        )
-    embs = np.concatenate(embs).astype(np.float32)
-    embs /= np.maximum(
-        np.linalg.norm(embs, axis=1, keepdims=True), 1e-10
-    )
-    corpus = jnp.asarray(embs, dtype=jnp.bfloat16)
-
-    @jax.jit
-    def topk_block(qs, corpus):
-        scores = jnp.einsum(
-            "qd,nd->qn", qs, corpus, preferred_element_type=jnp.float32
-        )
-        return jax.lax.top_k(scores, n_neighbors + 8)
-
-    n = len(paragraphs)
-    out = np.full((n, n_neighbors), -1, dtype=np.int32)
-    for lo in range(0, n, block):
-        hi = min(lo + block, n)
-        qs = corpus[lo:hi]
-        if hi - lo < block:  # pad the tail to the compiled shape
-            qs = jnp.pad(qs, ((0, block - (hi - lo)), (0, 0)))
-        vals, idx = topk_block(qs, corpus)
-        vals = np.asarray(vals)[: hi - lo]
-        idx = np.asarray(idx)[: hi - lo]
-        for r in range(hi - lo):
-            # drop the paragraph itself AND near-duplicates: supervising
-            # "no" on a passage nearly identical to the positive teaches
-            # the judge to reject serving positives (v3 lesson above)
-            cands = [
-                int(j)
-                for j, v in zip(idx[r], vals[r])
-                if int(j) != lo + r and v <= max_sim
-            ]
-            out[lo + r, : len(cands[:n_neighbors])] = cands[:n_neighbors]
-    print(
-        f"dense-mined {n} paragraphs x {n_neighbors} neighbors in "
-        f"{time.monotonic() - t0:.1f}s"
-    )
-    return out
 
 
 def main(argv: Optional[List[str]] = None) -> None:

@@ -326,3 +326,97 @@ def test_hard_negative_batcher_and_loss_step():
         batch = b.mixed_hn_stacked_batches(2, 8, p_len=64)
         params, opt_state, loss = step(params, opt_state, *batch)
     assert float(loss) < float(loss0)
+
+
+# ----- dense-negative mining (encoder v5 recipe) -----
+
+def test_canonical_crops_deterministic_and_bounded():
+    from rust_local_rag_tpu.training.mining import canonical_crops
+
+    texts = [
+        " ".join(f"w{i}_{j}" for j in range(30)) for i in range(20)
+    ] + ["short one"]
+    a = canonical_crops(texts, seed=5)
+    b = canonical_crops(texts, seed=5)
+    assert a == b, "crops must be deterministic for cache keying"
+    for t, c in zip(texts, a):
+        assert c and c in t
+        assert 1 <= len(c.split()) <= 12
+
+
+@needs_tokenizer
+def test_negative_index_draws_from_dense_table_with_fallback():
+    import numpy as np
+
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.training.pairs import PairBatcher
+
+    pars = [
+        f"Doc {i}: the storage layer compacts immutable runs of sorted "
+        "records in the background so point lookups touch a bounded "
+        "number of files while sequential ingestion stays append-only."
+        for i in range(8)
+    ]
+    b = PairBatcher(pars, HfTokenizer(ASSET_TOK), seq_len=32, seed=3)
+    D = len(b.docs)
+    # BM25 table: every doc's neighbor is doc 1; dense: doc 2, but doc 0's
+    # dense row was fully denoised away (-1) so it must fall back
+    b.neighbors = np.full((D, 2), -1, dtype=np.int32)
+    b.neighbors[:, 0] = 1
+    b.dense_neighbors = np.full((D, 2), -1, dtype=np.int32)
+    b.dense_neighbors[1:, 0] = 2
+    draws0 = {b._negative_index(0) for _ in range(40)}
+    assert draws0 == {1}, "empty dense row must fall back to the BM25 row"
+    draws3 = {b._negative_index(3) for _ in range(60)}
+    assert draws3 == {1, 2}, "both tables must be sampled"
+    # self-reference is never returned even if mined
+    b.dense_neighbors[2, 0] = 2
+    b.neighbors[2, 0] = 2
+    assert 2 not in {b._negative_index(2) for _ in range(40)}
+
+
+def test_denoise_with_reranker_drops_high_margin(monkeypatch):
+    import numpy as np
+
+    from rust_local_rag_tpu.training import mining
+
+    texts = [f"paragraph {i} about topic {i % 3}" for i in range(6)]
+    table = np.array(
+        [[1, 2], [0, -1], [3, 4], [-1, -1], [5, 0], [1, -1]],
+        dtype=np.int32,
+    )
+
+    class Judge:
+        def score_prompts(self, prompts):
+            # margin = +2 (false negative) whenever the PASSAGE (the text
+            # after "Chunk:" in the serving template) mentions topic 0
+            out = []
+            for p in prompts:
+                chunk = p.split("Chunk:\n")[1].split("\n\nJudge")[0]
+                yes = "topic 0" in chunk
+                out.append((0.9, 1.0, -1.0) if yes else (0.1, -1.0, 1.0))
+            return out
+
+    import rust_local_rag_tpu.models.encoder as enc
+    import rust_local_rag_tpu.models.reranker as rr
+
+    monkeypatch.setattr(rr, "TransformerReranker", lambda: Judge())
+    monkeypatch.setattr(
+        enc, "default_asset", lambda name: f"/fake/{name}"
+    )
+    out, stats = mining.denoise_with_reranker(texts, table, margin=0.0)
+    valid = table >= 0
+    assert stats["pairs"] == int(valid.sum())
+    # entries pointing at paragraphs 0 or 3 (topic 0) were dropped
+    for i in range(table.shape[0]):
+        for k in range(table.shape[1]):
+            j = table[i, k]
+            if j < 0:
+                assert out[i, k] == -1
+            elif int(j) in (0, 3):
+                assert out[i, k] == -1, (i, k, j)
+            else:
+                assert out[i, k] == j
+    assert stats["dropped"] == sum(
+        1 for row in table for j in row if int(j) in (0, 3)
+    )
