@@ -1090,6 +1090,19 @@ class RagEngine:
                 )
                 self._needs_reindex = True
                 return
+            if len(self.store):
+                # replace semantics, not append: the reference's
+                # apply_loaded_state overwrites the whole chunk map
+                # (rag_engine.rs:1655-1709), so a re-load must not
+                # duplicate ids already resident in the slab
+                self.store = ChunkStore(
+                    dim=self.store.dim,
+                    dtype=self.store.dtype,
+                    quantized=self.store.quantized,
+                    mesh=self._mesh,
+                    corpus_axis=self._corpus_axes,
+                )
+                self.lexical_index.clear()
             self.store.add_chunks(st.metas, st.embeddings)
             for m in st.metas:
                 self.lexical_index.add_chunk(m.id, m.text)

@@ -276,3 +276,24 @@ def test_use_reranker_false_skips_rerank(engine_reranked):
     off = engine_reranked.search(q, 3, use_reranker=False)
     assert any(r.reranker_score is not None for r in on)
     assert all(r.reranker_score is None for r in off)
+
+
+def test_reload_replaces_instead_of_duplicating(tmp_path):
+    """load_from_disk has REPLACE semantics like the reference's
+    apply_loaded_state (rag_engine.rs:1655-1709): calling it on an engine
+    that already holds the index must not duplicate chunk ids or crash."""
+    svc = EmbeddingService(HashEncoder(dim=DIM, model_name="fake-test-model"))
+    eng = RagEngine(str(tmp_path), svc)
+    eng.add_document("cooking.pdf", pdfgen.make_pdf([DOCS["cooking.pdf"]]))
+    eng.save_to_disk()
+    n = len(eng.store)
+    res1 = eng.search("sourdough", 2)
+
+    eng.load_from_disk()  # second load on a warm engine
+    assert len(eng.store) == n
+    res2 = eng.search("sourdough", 2)
+    assert [r.chunk_id for r in res1] == [r.chunk_id for r in res2]
+    # lexical index was rebuilt, not doubled: scores identical
+    np.testing.assert_allclose(
+        [r.score for r in res1], [r.score for r in res2], rtol=1e-6
+    )
