@@ -175,15 +175,39 @@ def generate_corpus(
     return names
 
 
-def generate_ground_truth(path: str) -> int:
-    """Write the JSONL ground truth; returns query count."""
+def generate_ground_truth(path: str, split: str = "dev") -> int:
+    """Write the JSONL ground truth; returns query count.
+
+    split="dev" is the original 50-query set (used by sweeps and adoption
+    decisions); split="test" is the held-out report-only set authored in
+    heldout_data.py — never consulted for tuning (its docstring records
+    the hygiene contract).
+    """
+    if split == "dev":
+        queries, rejections, prefix, notes = (
+            QUERIES, REJECTION_QUERIES, "Q", "authored eval corpus v2"
+        )
+    elif split == "test":
+        from eval_harness.heldout_data import (
+            HELDOUT_QUERIES,
+            HELDOUT_REJECTION_QUERIES,
+        )
+
+        queries, rejections, prefix, notes = (
+            HELDOUT_QUERIES,
+            HELDOUT_REJECTION_QUERIES,
+            "H",
+            "authored eval corpus v2 heldout",
+        )
+    else:
+        raise ValueError(f"unknown split {split!r}")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     cat = {d["doc"]: d["category"] for d in DOCS}
     rows = []
-    for qn, (query, doc, page, difficulty, gist) in enumerate(QUERIES, 1):
+    for qn, (query, doc, page, difficulty, gist) in enumerate(queries, 1):
         rows.append(
             {
-                "query_id": f"Q{qn:03d}",
+                "query_id": f"{prefix}{qn:03d}",
                 "query": query,
                 "category": cat[doc],
                 "difficulty": difficulty,
@@ -192,20 +216,20 @@ def generate_ground_truth(path: str) -> int:
                     {"document": doc, "page": page, "relevance": 3}
                 ],
                 "expected_answer_gist": gist,
-                "notes": "authored eval corpus v2",
+                "notes": notes,
             }
         )
-    for i, query in enumerate(REJECTION_QUERIES):
+    for i, query in enumerate(rejections):
         rows.append(
             {
-                "query_id": f"Q{len(QUERIES) + i + 1:03d}",
+                "query_id": f"{prefix}{len(queries) + i + 1:03d}",
                 "query": query,
                 "category": "rejection",
                 "difficulty": "hard",
                 "is_rejection": True,
                 "gold_references": [],
                 "expected_answer_gist": "no relevant content exists",
-                "notes": "authored eval corpus v2",
+                "notes": notes,
             }
         )
     with open(path, "w", encoding="utf-8") as f:

@@ -108,9 +108,12 @@ def cmd_generate(args) -> int:
     from eval_harness.corpus import generate_corpus, generate_ground_truth
 
     names = generate_corpus(args.documents)
-    count = generate_ground_truth(args.ground_truth)
+    count = generate_ground_truth(args.ground_truth, split=args.split)
     print(f"wrote {len(names)} PDFs to {args.documents}")
-    print(f"wrote {count} ground-truth queries to {args.ground_truth}")
+    print(
+        f"wrote {count} ground-truth queries ({args.split} split) "
+        f"to {args.ground_truth}"
+    )
     return 0
 
 
@@ -138,6 +141,11 @@ def main(argv=None) -> int:
     p_gen.add_argument("--documents", default="./documents")
     p_gen.add_argument(
         "--ground-truth", default="eval_harness/ground_truth/queries.jsonl"
+    )
+    p_gen.add_argument(
+        "--split", choices=("dev", "test"), default="dev",
+        help="dev = tuning split (corpus_data.py); test = held-out "
+        "report-only split (heldout_data.py)",
     )
     p_gen.set_defaults(fn=cmd_generate)
 

@@ -25,8 +25,20 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    import argparse
+
     import requests
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--heldout",
+        action="store_true",
+        help="ALSO run the held-out test split (baseline_heldout config "
+        "over eval_harness/heldout_data.py queries). Report-only: nothing "
+        "may ever be tuned on its numbers.",
+    )
+    args = ap.parse_args(argv)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     work = tempfile.mkdtemp(prefix="quality_eval_")
@@ -42,6 +54,11 @@ def main() -> int:
     gt = os.path.join(work, "queries.jsonl")
     nq = generate_ground_truth(gt)
     print(f"{len(names)} PDFs, {nq} queries -> {work}")
+    gt_heldout = None
+    if args.heldout:
+        gt_heldout = os.path.join(work, "queries_heldout.jsonl")
+        nh = generate_ground_truth(gt_heldout, split="test")
+        print(f"+ {nh} held-out test-split queries")
 
     port = _free_port()
     env = dict(os.environ)
@@ -112,13 +129,16 @@ def main() -> int:
 
         out_dir = os.path.join(repo, "eval_harness", "reports")
         results = {}
-        for cfg in ("baseline", "embedding_only", "bm25_only"):
+        runs = [("baseline", gt), ("embedding_only", gt), ("bm25_only", gt)]
+        if gt_heldout:
+            runs.append(("baseline_heldout", gt_heldout))
+        for cfg, gt_path in runs:
             code = eval_main(
                 [
                     "evaluate",
                     "--config", f"eval_harness/configs/{cfg}.yaml",
                     "--endpoint", base,
-                    "--ground-truth", gt,
+                    "--ground-truth", gt_path,
                     "--out", out_dir,
                 ]
             )

@@ -93,6 +93,43 @@ def test_ground_truth_loads():
     assert all(q.gold_references for q in queries if not q.is_rejection)
 
 
+def test_heldout_split_is_valid_and_disjoint(tmp_path):
+    """The held-out test split (heldout_data.py) must be structurally
+    sound and share no query text with the dev split — it exists to
+    measure configuration overfit, so any overlap would defeat it."""
+    from eval_harness.corpus import generate_ground_truth
+    from eval_harness.corpus_data import DOCS, QUERIES, REJECTION_QUERIES
+    from eval_harness.heldout_data import (
+        HELDOUT_QUERIES,
+        HELDOUT_REJECTION_QUERIES,
+    )
+
+    docs = {d["doc"]: len(d["pages"]) for d in DOCS}
+    for query, doc, page, difficulty, gist in HELDOUT_QUERIES:
+        assert doc in docs, doc
+        assert 1 <= page <= docs[doc], (doc, page)
+        assert difficulty in ("easy", "medium", "hard")
+        assert query and gist
+
+    dev_q = {q for q, *_ in QUERIES} | set(REJECTION_QUERIES)
+    test_q = {q for q, *_ in HELDOUT_QUERIES} | set(HELDOUT_REJECTION_QUERIES)
+    assert not dev_q & test_q
+    # no duplicates inside the split either
+    assert len(test_q) == len(HELDOUT_QUERIES) + len(HELDOUT_REJECTION_QUERIES)
+
+    path = tmp_path / "heldout.jsonl"
+    n = generate_ground_truth(str(path), split="test")
+    assert n == 50
+    queries = load_ground_truth(str(path))
+    assert len([q for q in queries if q.is_rejection]) == 5
+    assert all(q.query_id.startswith("H") for q in queries)
+
+    # committed copy stays in sync with the authored data
+    committed = "eval_harness/ground_truth/queries_heldout.jsonl"
+    with open(committed, encoding="utf-8") as f:
+        assert f.read() == path.read_text(encoding="utf-8")
+
+
 def test_config_from_yaml():
     cfg = EvalConfig.from_yaml("eval_harness/configs/baseline.yaml")
     assert cfg.name == "baseline"
