@@ -194,3 +194,60 @@ def denoise_with_reranker(
         f"p90 {stats['margin_p90']:.2f})"
     )
     return out, stats
+
+
+def cached_denoised_table(
+    texts: List[str],
+    n_neighbors: int = 4,
+    margin: float = 0.0,
+) -> Tuple[np.ndarray, dict]:
+    """Mined + reranker-denoised neighbor table, disk-cached.
+
+    The cache key covers the corpus, the mining params, AND both model
+    assets (remining is ~15 min of device time at 184k paragraphs), and
+    is byte-identical to the one PairBatcher.premine_dense_negatives has
+    always written, so the encoder and reranker trainers share entries
+    for the same text list. Raises RuntimeError when either trained
+    asset is missing (mining needs the encoder, denoising the reranker).
+    """
+    import hashlib
+    import json
+    import os
+
+    from rust_local_rag_tpu.models.encoder import default_asset
+
+    h = hashlib.sha256()
+    h.update(f"dense|{n_neighbors}|{margin}|".encode())
+    for asset in ("encoder.safetensors", "reranker.safetensors"):
+        p = default_asset(asset)
+        st = os.stat(p) if p and os.path.exists(p) else None
+        h.update(
+            f"{asset}:{st.st_size}:{st.st_mtime_ns}|".encode()
+            if st
+            else f"{asset}:none|".encode()
+        )
+    for t in texts:
+        h.update(t.encode())
+        h.update(b"\0")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "rag_tpu_premine",
+        "dense_" + h.hexdigest()[:24] + ".npz",
+    )
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            table = z["table"]
+            stats = json.loads(str(z["stats"]))
+        print(f"dense premine cache hit: {cache}")
+        return table, stats
+    table = mine_dense_neighbors(texts, n_neighbors=n_neighbors)
+    if table is None:
+        raise RuntimeError(
+            "cached_denoised_table needs the trained encoder asset"
+        )
+    table, stats = denoise_with_reranker(texts, table, margin=margin)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, table=table, stats=json.dumps(stats))
+    os.replace(tmp, cache)
+    return table, stats

@@ -290,54 +290,13 @@ class PairBatcher:
     ) -> dict:
         """Mine a [D, n_neighbors] dense-neighbor table with the committed
         encoder and denoise it with the committed reranker (encoder v5
-        recipe, training/mining.py). Cached on disk keyed by the corpus,
-        the mining params, AND both model assets — remining is ~15 min of
-        device time. Returns the denoise stats (empty dict on cache hit).
-        """
-        import hashlib
-        import json
+        recipe, mining.cached_denoised_table — disk-cached; remining is
+        ~15 min of device time). Returns the denoise stats."""
+        from rust_local_rag_tpu.training.mining import cached_denoised_table
 
-        from rust_local_rag_tpu.models.encoder import default_asset
-        from rust_local_rag_tpu.training.mining import (
-            denoise_with_reranker,
-            mine_dense_neighbors,
+        self.dense_neighbors, stats = cached_denoised_table(
+            self.texts, n_neighbors=n_neighbors, margin=margin
         )
-
-        h = hashlib.sha256()
-        h.update(f"dense|{n_neighbors}|{margin}|".encode())
-        for asset in ("encoder.safetensors", "reranker.safetensors"):
-            p = default_asset(asset)
-            st = os.stat(p) if p and os.path.exists(p) else None
-            h.update(
-                f"{asset}:{st.st_size}:{st.st_mtime_ns}|".encode()
-                if st
-                else f"{asset}:none|".encode()
-            )
-        for t in self.texts:
-            h.update(t.encode())
-            h.update(b"\0")
-        cache = os.path.join(
-            os.path.expanduser("~"), ".cache", "rag_tpu_premine",
-            "dense_" + h.hexdigest()[:24] + ".npz",
-        )
-        if os.path.exists(cache):
-            with np.load(cache) as z:
-                self.dense_neighbors = z["table"]
-                stats = json.loads(str(z["stats"]))
-            print(f"dense premine cache hit: {cache}")
-            return stats
-        table = mine_dense_neighbors(self.texts, n_neighbors=n_neighbors)
-        if table is None:
-            raise RuntimeError(
-                "premine_dense_negatives needs the trained encoder asset"
-            )
-        table, stats = denoise_with_reranker(self.texts, table, margin=margin)
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        tmp = cache + ".tmp"
-        with open(tmp, "wb") as f:
-            np.savez(f, table=table, stats=json.dumps(stats))
-        os.replace(tmp, cache)
-        self.dense_neighbors = table
         return stats
 
     def _negative_index(self, i: int) -> int:

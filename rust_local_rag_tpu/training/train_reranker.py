@@ -266,6 +266,20 @@ def main(argv: Optional[List[str]] = None) -> None:
         "auto = when the encoder asset exists. Off by default: the v3 "
         "run with dense negatives LOST end-to-end (see module lessons)",
     )
+    ap.add_argument(
+        "--no-denoise", action="store_true",
+        help="skip the RocketQA reranker-denoise pass over dense-mined "
+        "negatives (mining.cached_denoised_table). Denoising is the "
+        "default because UNdenoised dense negatives lost end-to-end "
+        "twice (v3, v4 — see module lessons): the mined set is "
+        "dominated by paraphrase-level true answers that a cosine cut "
+        "alone cannot remove",
+    )
+    ap.add_argument(
+        "--dense-margin", type=float, default=0.0,
+        help="yes/no logit margin above which the committed judge calls "
+        "a mined neighbor a false negative and drops it",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -319,7 +333,22 @@ def main(argv: Optional[List[str]] = None) -> None:
     dense = None
     if args.dense_negatives != "off":
         filtered = [p for p in train_pars if len(p.split()) >= 16]
-        dense = mine_dense_neighbors(filtered)
+        if args.no_denoise:
+            dense = mine_dense_neighbors(filtered)
+        else:
+            from rust_local_rag_tpu.training.mining import (
+                cached_denoised_table,
+            )
+
+            try:
+                dense, _ = cached_denoised_table(
+                    filtered, margin=args.dense_margin
+                )
+            except RuntimeError as e:
+                # auto mode degrades to BM25-only when assets are missing
+                if args.dense_negatives == "on":
+                    raise SystemExit(str(e))
+                print(f"dense negatives unavailable: {e}")
         if dense is None and args.dense_negatives == "on":
             raise SystemExit("--dense-negatives=on but no encoder asset")
 

@@ -420,3 +420,42 @@ def test_denoise_with_reranker_drops_high_margin(monkeypatch):
     assert stats["dropped"] == sum(
         1 for row in table for j in row if int(j) in (0, 3)
     )
+
+
+def test_cached_denoised_table_roundtrip(monkeypatch, tmp_path):
+    """cached_denoised_table mines+denoises once, then serves the SAME
+    table (and stats) from disk without touching either model again."""
+    import numpy as np
+
+    import rust_local_rag_tpu.models.encoder as enc
+    from rust_local_rag_tpu.training import mining
+
+    texts = [f"paragraph number {i} with enough words" for i in range(4)]
+    mined = np.array([[1], [2], [3], [0]], dtype=np.int32)
+    calls = {"mine": 0, "judge": 0}
+
+    def fake_mine(ts, n_neighbors=4):
+        calls["mine"] += 1
+        assert ts == texts
+        return mined.copy()
+
+    def fake_denoise(ts, table, margin=0.0):
+        calls["judge"] += 1
+        out = table.copy()
+        out[0, 0] = -1  # one judged false negative
+        return out, {"pairs": 4, "dropped": 1}
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.setattr(mining, "mine_dense_neighbors", fake_mine)
+    monkeypatch.setattr(mining, "denoise_with_reranker", fake_denoise)
+    monkeypatch.setattr(enc, "default_asset", lambda name: None)
+
+    t1, s1 = mining.cached_denoised_table(texts, n_neighbors=1)
+    t2, s2 = mining.cached_denoised_table(texts, n_neighbors=1)
+    assert calls == {"mine": 1, "judge": 1}  # second call was a cache hit
+    assert np.array_equal(t1, t2)
+    assert t1[0, 0] == -1 and t1[1, 0] == 2
+    assert s1["dropped"] == s2["dropped"] == 1
+    # different margin = different key = fresh mine
+    mining.cached_denoised_table(texts, n_neighbors=1, margin=0.5)
+    assert calls["mine"] == 2
