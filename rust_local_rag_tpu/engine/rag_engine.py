@@ -238,6 +238,12 @@ class RagEngine:
                 )
             if self._mesh is not None and slices > 1:
                 self._corpus_axes = ("slice", "corpus")
+        elif dp > 1:
+            logger.warning(
+                "RAG_TPU_DATA_PARALLEL=%d requires RAG_TPU_SHARD_CORPUS>1 "
+                "(query replicas ride the composed mesh); ignoring",
+                dp,
+            )
         self.store = ChunkStore(
             dim=embedding_service.dim,
             dtype=corpus_dtype,
@@ -459,8 +465,11 @@ class RagEngine:
         # some TPU compile services). Padded rows are zero queries with no
         # lexical hits; their outputs are dropped below.
         # (the composed mesh shards the query axis over _data_parallel
-        # replicas, so the padded batch must cover at least one row each)
-        nq_pad = max(_bucket_batch(nq), self._data_parallel)
+        # replicas, so the padded batch must be a multiple of the replica
+        # count — power-of-2 buckets only guarantee that for power-of-2 dp)
+        dp = self._data_parallel
+        nq_pad = max(_bucket_batch(nq), dp)
+        nq_pad = ((nq_pad + dp - 1) // dp) * dp
 
         q_emb = self.embedding_service.get_query_embeddings(queries)
         q_emb_p = np.zeros((nq_pad, q_emb.shape[1]), dtype=np.float32)
@@ -510,6 +519,7 @@ class RagEngine:
                 jnp.float32(resolved.lexical),
                 _bucket_k(initial_k),
                 mesh=self._mesh,
+                corpus_axis=self._corpus_axes,
                 with_sims=collect_sims,
                 data_axis=self._data_axis,
             )

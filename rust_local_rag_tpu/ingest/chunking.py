@@ -42,7 +42,7 @@ MAX_TITLE_LEN = 160
 _ABBREV_ALWAYS = {
     # titles (segment.srx "Atty|Sg?t|[SG]en|Ft|Gov|Hon|Prof|Mr?s|Mt|...")
     "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "rev", "revd",
-    "hon", "atty", "sgt", "sen", "gen", "ft", "gov", "mt", "col", "maj",
+    "hon", "atty", "sgt", "sen", "gen", "ft", "gov", "mt", "col",
     "lt", "lieut", "brig", "capt", "cmdr", "cmnd", "rep", "drs", "messrs",
     "mmes",
     # months ("\bJan\.\s" ... "\bDec\.\s", empty afterbreak)
@@ -51,8 +51,8 @@ _ABBREV_ALWAYS = {
     # Latin / citation ("e\.g\.", "i\.e\.", "vs\.", "cf\.", "et al\.",
     # "e[sx]p\.", "[Bb]tw\.")
     "e.g", "i.e", "vs", "v", "cf", "al", "esp", "exp", "btw",
-    # corporate ("I(nc|NC)\.", "Corp\.", "Bros\.", "Dist\.", "Co\.")
-    "inc", "corp", "bros", "dist", "co",
+    # corporate ("Corp\.", "Bros\.", "Dist\.", "Co\.")
+    "corp", "bros", "dist", "co",
     # degrees ("P[Hh]\.?\s?[Dd]\.", "(PhD|BSc|BEng|...)\.", "LL\.[BM]\.")
     "ph.d", "phd", "bsc", "beng", "bcomp", "barch", "msc", "meng",
     "mcomp", "ll.b", "ll.m", "b.sc", "m.sc", "b.eng", "m.eng", "b.comp",
@@ -61,6 +61,14 @@ _ABBREV_ALWAYS = {
     "u.s", "u.k", "d.c", "p", "pp", "ch", "sec", "dept", "est", "appt",
     "apt", "rd", "nos",
 }
+# Case-sensitive hard no-breaks: the SRX title rule lists capitalized
+# "Maj" (segment.srx:1283) and the corporate rule "I(nc|NC)" (srx:1299)
+# with empty afterbreak, while the LOWERCASE forms "maj"/"[Ii]ncl?" belong
+# to the soft measurement rule (srx:1146, afterbreak [^\p{Lu}]|I). A
+# case-blind lookup would shadow the soft behavior ("a 3% inc. Next..."
+# must split; "Acme Inc. The merger..." must not).
+_ABBREV_CASED_ALWAYS = {"Inc", "INC", "Maj"}
+
 _ABBREV_SOFT = {
     # the big measurement/figure rule (afterbreak [^\p{Lu}]|I) plus the
     # \p{N}/roman figure rules and \p{Ll}+ street/state rules
@@ -213,7 +221,10 @@ def split_sentences(text: str) -> List[str]:
             wl = word.lower().rstrip(".")
             if _INITIALS_RE.match(word.rstrip(".")):
                 no_break = True
-            elif wl in _ABBREV_ALWAYS:
+            elif (
+                wl in _ABBREV_ALWAYS
+                or word.rstrip(".") in _ABBREV_CASED_ALWAYS
+            ):
                 no_break = True
             elif wl in _ABBREV_SOFT:
                 # suppressed unless the continuation looks like a fresh

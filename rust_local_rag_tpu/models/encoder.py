@@ -135,8 +135,11 @@ def encoder_forward(
     """[B, L] ids + mask -> [B, dim] L2-normalized f32 embeddings.
 
     fused_attn: use the Pallas fused-attention kernel (ops/attention.py),
-    which keeps the [B, H, L, L] score tensor out of HBM. Defaults to on
-    for inference; training passes False (pallas_call has no VJP here).
+    which keeps the [B, H, L, L] score tensor out of HBM. Defaults to
+    use_fused_attention() — OPT-IN via RAG_TPU_FUSED_ATTN=1, off
+    otherwise (the kernel measured slower end-to-end on this toolchain;
+    see ops/attention.py); training passes False (pallas_call has no VJP
+    here).
     """
     act_dtype = jnp.dtype(cfg.activation_dtype)
     B, L = ids.shape

@@ -129,7 +129,9 @@ def reranker_forward_last_logits(
     valid position: [B, vocab].
 
     fused_attn: Pallas fused attention (ops/attention.py, causal variant) —
-    on by default for inference; training passes False (no VJP)."""
+    OPT-IN via RAG_TPU_FUSED_ATTN=1 (off by default: slower end-to-end on
+    this toolchain, see ops/attention.py); training passes False (no
+    VJP)."""
     act_dtype = jnp.dtype(cfg.activation_dtype)
     B, L = ids.shape
     H, Dh = cfg.heads, cfg.head_dim

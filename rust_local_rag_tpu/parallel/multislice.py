@@ -128,6 +128,11 @@ def multislice_topk(
         gi = jnp.transpose(dcn_idx, (1, 0, 2)).reshape(qn, n_slices * k)
         mv, msel = jax.lax.top_k(gv, k)
         mi = jnp.take_along_axis(gi, msel, axis=1)
+        # re-establish the idx=-1 invariant for masked rows: a -inf value's
+        # index is arbitrary (or the `rows` clamp = an out-of-slab global
+        # index on the last shard) and must never be gathered by callers —
+        # same step as sharded_search.sharded_hybrid_topk
+        mi = jnp.where(mv == -jnp.inf, -1, mi)
         return mv, mi
 
     fn = shard_map(

@@ -215,13 +215,20 @@ class McpHandler:
 
     def _tool_search_documents(self, args: dict) -> dict:
         query = args.get("query", "")
-        top_k = min(int(args.get("top_k") or 5), MAX_TOP_K)
-        diversity = float(args.get("diversity_factor", 0.3))
+        # invalid argument types are -32602 Invalid params, mirroring the
+        # HTTP handler's 400s (http_api.py:203-210) — not internal errors
+        try:
+            top_k = min(int(args.get("top_k") or 5), MAX_TOP_K)
+            diversity = float(args.get("diversity_factor", 0.3))
+            rejection = args.get("rejection_threshold")
+            rejection = None if rejection is None else float(rejection)
+        except (TypeError, ValueError) as e:
+            raise McpError(-32602, f"Invalid params: {e}")
         diversity = min(max(diversity, 0.0), 1.0)
         weights = QueryWeights.from_dict(args.get("weights"))
-        rejection = args.get("rejection_threshold")
-        rejection = None if rejection is None else float(rejection)
-        use_reranker = bool(args.get("use_reranker", True))
+        use_reranker = args.get("use_reranker", True)
+        if not isinstance(use_reranker, bool):
+            raise McpError(-32602, "Invalid params: use_reranker must be a boolean")
         try:
             results = self.ctx.search(
                 query, top_k, diversity, weights, rejection, use_reranker

@@ -292,7 +292,18 @@ def main(argv: Optional[List[str]] = None) -> None:
                 best_acc, best_step = acc, done
                 best_params = jax.device_get(params)
 
-    if best_params is None:  # never improved (or eval disabled): save final
+    if best_params is None:
+        if args.init and args.eval_every:
+            # warm-start regression guard: no eval ever beat the
+            # warm-start accuracy, so the final (drifted) params must NOT
+            # replace the initial checkpoint (which may be the committed
+            # serving asset)
+            print(
+                f"no eval beat the warm-start acc {best_acc:.3f}; "
+                f"checkpoint NOT written (init: {args.init})"
+            )
+            return
+        # cold start (or eval disabled): save final
         best_params, best_step = jax.device_get(params), done
     print(f"saving best checkpoint from step {best_step} (acc {best_acc:.3f})")
     save_params(

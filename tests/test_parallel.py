@@ -231,6 +231,19 @@ def test_multislice_topk_padding_and_bounds(rng):
         np.asarray(vals), np.asarray(ref_v), rtol=1e-6, atol=1e-7
     )
 
+    # fewer live rows than k: the -inf filler entries that reach the merged
+    # top-k must carry idx=-1 (same invariant as sharded_hybrid_topk), not
+    # arbitrary clamped slab rows
+    few = 3
+    vals2, idx2 = multislice_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), k, mesh,
+        tile_n=64, valid_count=few,
+    )
+    vals2, idx2 = np.asarray(vals2), np.asarray(idx2)
+    assert (idx2[:, few:] == -1).all()
+    assert np.isneginf(vals2[:, few:]).all()
+    assert (idx2[:, :few] >= 0).all() and (idx2[:, :few] < few).all()
+
     with pytest.raises(ValueError, match="exceeds rows per shard"):
         multislice_topk(
             jnp.asarray(queries), jnp.asarray(corpus), 128, mesh

@@ -320,6 +320,20 @@ def test_mcp_unknown_method(server):
     assert out["error"]["code"] == -32601
 
 
+def test_mcp_search_invalid_arg_types(server):
+    """Bad search argument types are -32602 Invalid params (mirroring the
+    HTTP handler's 400s), not -32603 internal errors; and a string
+    use_reranker must not truthy-coerce into running the reranker."""
+    for args in (
+        {"query": "x", "rejection_threshold": "high"},
+        {"query": "x", "top_k": "three"},
+        {"query": "x", "diversity_factor": "lots"},
+        {"query": "x", "use_reranker": "false"},
+    ):
+        out = server.tool("search_documents", args)
+        assert out["error"]["code"] == -32602, args
+
+
 def test_mcp_non_object_payload_invalid_request(server):
     """A JSON-RPC batch array (or any non-object JSON) gets -32600, not a
     500 (ADVICE r1)."""

@@ -326,6 +326,42 @@ def test_sliced_quantized_matches_flat_quantized(tmp_path):
         )
 
 
+def test_sliced_quantized_passes_composed_axes(tmp_path, monkeypatch):
+    """Regression: the engine must forward corpus_axis=("slice","corpus")
+    to the quantized sharded search. Without it the shard_map in_spec
+    P("corpus", None) silently RESHARDS the slab replicated across the
+    slice axis — results stay correct on tiny corpora, but the capacity
+    design point (10M chunks/chip) would OOM and the DCN-minimizing
+    hierarchical merge would never run."""
+    import rust_local_rag_tpu.parallel.sharded_search as ss
+
+    svc = EmbeddingService(HashEncoder(dim=D, model_name="q-spy"))
+    rng = np.random.default_rng(6)
+    emb = rng.standard_normal((32, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    metas = [
+        ChunkMeta(id=f"c{i}", document_name="d.pdf",
+                  text=f"chunk {i} beta", chunk_index=i)
+        for i in range(32)
+    ]
+    eng = _mk_engine(
+        tmp_path / "spy", svc,
+        {"RAG_TPU_INT8_CORPUS": "1", "RAG_TPU_SHARD_CORPUS": "8",
+         "RAG_TPU_SLICES": "2"},
+    )
+    eng.store.add_chunks(metas, emb)
+    seen = {}
+    real = ss.sharded_hybrid_topk_quantized
+
+    def spy(*a, **kw):
+        seen["corpus_axis"] = kw.get("corpus_axis", "corpus")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ss, "sharded_hybrid_topk_quantized", spy)
+    assert eng.search("chunk 3 beta", 4)
+    assert seen["corpus_axis"] == ("slice", "corpus")
+
+
 def test_sliced_persistence_roundtrip(tmp_path):
     """Save from a sliced-mesh engine, reload into an unsharded engine:
     the npz gathers to host transparently and rankings survive."""

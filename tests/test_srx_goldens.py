@@ -94,6 +94,16 @@ GOLDENS = [
 
     # ---- corporate, empty afterbreak ("Inc\.", "Corp\.", "Bros\.", "Co\.") --
     ("Acme Inc. hired contractors.", ["Acme Inc. hired contractors."]),
+    # case split: capitalized Inc/Maj are hard no-breaks (srx:1283,1299),
+    # lowercase inc/maj belong to the soft rule (srx:1146) and DO break
+    # before an uppercase continuation
+    ("Acme, Inc. The merger closed early.",
+     ["Acme, Inc. The merger closed early."]),
+    ("Costs showed a 3% inc. Next quarter looked better.",
+     ["Costs showed a 3% inc.", "Next quarter looked better."]),
+    ("Maj. Thompson led the patrol.", ["Maj. Thompson led the patrol."]),
+    ("The vote carried by a clear maj. Several members abstained.",
+     ["The vote carried by a clear maj.", "Several members abstained."]),
     ("Warner Bros. produced it.", ["Warner Bros. produced it."]),
     ("Smith Co. supplies parts.", ["Smith Co. supplies parts."]),
     ("The Dist. Attorney objected.", ["The Dist. Attorney objected."]),
