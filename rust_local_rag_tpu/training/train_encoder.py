@@ -13,6 +13,22 @@ Run on the TPU chip:
 The quality eval's corpus passages are held out of training when
 --exclude-eval is set (default): eval_harness.corpus exposes the passage
 hashes and training/corpus.harvest drops matching paragraphs.
+
+Encoder v5 negative result (reranker-denoised dense negatives, recorded
+2026-08-17): warm-starting the committed v4 asset for 16k steps with
+--dense-negatives (the committed judge dropped 53.9% of dense-mined
+neighbors as false negatives — confirming the paraphrase-contamination
+hypothesis behind the v3/v4 dense-negative failures) moved held-out crop
+accuracy only 0.517 -> 0.520 and did NOT transfer as a quality win: dev
+eval hit 0.911 (+0.067 over v4) but the held-out test split
+(eval_harness/heldout_data.py) regressed to 0.844 hit / 0.721 mrr vs
+v4's 0.867 / 0.781, and dev rejection fell 1.0 -> 0.8 (a rejection
+query's top ABSOLUTE cosine crossed the eval-side 0.3 floor; the
+engine-level reranker-confidence sweep 0.0-0.12 was flat —
+scripts/sweep_rejection.py). Net across both 45-query splits the flip
+count is +2 with worse mrr/ndcg tails: within-split selection variance
+(1 query = 0.022) dominates the apparent dev gain. The v4 asset stays
+committed; dense negatives remain off the encoder recipe too.
 """
 
 from __future__ import annotations
