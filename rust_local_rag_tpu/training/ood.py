@@ -1,0 +1,89 @@
+"""Out-of-domain junk-query synthesis for reranker rejection training.
+
+The serving rejection mechanism gates on the judge's absolute yes
+probability (engine rejection_threshold), but a judge trained only on
+in-corpus crops is uncalibrated on far-out-of-domain questions — measured:
+every eval rejection query (history, cooking, astronomy...) scores a
+yes-probability above 0.12 under the v3b judge, so the engine-level floor
+never fires and rejection succeeds only through the eval-side cosine cut
+(see scripts/sweep_rejection.py, flat 0.0-0.12). The reference does not
+have this problem because its judge is a full instruction-tuned LLM that
+answers "no" to junk on its own (/root/reference/src/reranker.rs:519-588
+reads yes/no logprobs from phi4-mini).
+
+This module synthesizes factoid junk queries from templated far-OOD topic
+banks (history, cooking, sports, geography, music, nature, crafts, travel)
+for the reranker trainer's --ood-frac option: a junk query paired with ANY
+corpus passage is labeled "no". Entities appearing in the committed eval
+rejection queries (dev corpus_data.REJECTION_QUERIES and held-out
+heldout_data.HELDOUT_REJECTION_QUERIES: Westphalia, octopus, Betelgeuse,
+Amazon rainfall, Magic Flute, ethanol, FIFA, green tea, Tasmania, Eiffel)
+are deliberately ABSENT from the banks, so rejection-query success is
+never memorization.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+# topic banks: (template, [entity fills]) — all far outside the corpus
+# domain (software/numerics/systems manuals) and disjoint from both eval
+# rejection sets
+_TEMPLATES = [
+    ("What year did the {} begin?",
+     ["Hundred Years' War", "Meiji Restoration", "California gold rush",
+      "construction of the Suez Canal", "reign of Charlemagne",
+      "Bronze Age collapse", "first Tour de France"]),
+    ("Who painted {}?",
+     ["the Night Watch", "Starry Night", "the School of Athens",
+      "Guernica", "the Birth of Venus"]),
+    ("How long should I {} before serving?",
+     ["rest a roast chicken", "proof sourdough", "marinate lamb skewers",
+      "chill a custard tart", "brine pork chops"]),
+    ("What is the best season to plant {}?",
+     ["tulip bulbs", "winter wheat", "tomato seedlings", "lavender",
+      "apple saplings"]),
+    ("Which country won the {} gold medal in ice hockey?",
+     ["1980 Olympic", "1998 Olympic", "2010 Olympic", "1952 Olympic"]),
+    ("What is the capital of {}?",
+     ["Mongolia", "Uruguay", "Slovenia", "Madagascar", "Bhutan"]),
+    ("Who composed {} and when did it premiere?",
+     ["the Rite of Spring", "the New World Symphony", "Carmen",
+      "the Moonlight Sonata"]),
+    ("What is the average lifespan of a {} in the wild?",
+     ["snow leopard", "albatross", "giant tortoise", "humpback whale",
+      "red kangaroo"]),
+    ("How tall is {}?",
+     ["Mount Kilimanjaro", "the Burj Khalifa", "Angel Falls",
+      "the Statue of Liberty", "Denali"]),
+    ("What wine pairs well with {}?",
+     ["grilled salmon", "aged cheddar", "mushroom risotto",
+      "dark chocolate", "roast duck"]),
+    ("When is the best time of year to visit {}?",
+     ["the Norwegian fjords", "Kyoto", "Patagonia", "the Serengeti",
+      "Iceland's hot springs"]),
+    ("What stitch is used for {}?",
+     ["hemming denim", "attaching a button", "invisible seams",
+      "stretchy knit fabric"]),
+    ("Who was the first person to {}?",
+     ["summit Annapurna", "swim the English Channel",
+      "reach the South Pole", "circumnavigate the globe solo"]),
+    ("What is the chemical symbol for {}?",
+     ["tungsten", "antimony", "mercury", "potassium"]),
+    ("How many strings does a {} have?",
+     ["ukulele", "mandolin", "sitar", "balalaika", "harp"]),
+]
+
+
+def junk_queries(n: int, seed: int = 0) -> List[str]:
+    """n deterministic far-OOD factoid queries (with replacement across
+    the template x entity grid, shuffled by seed)."""
+    rng = np.random.default_rng(seed)
+    grid = [t.format(e) for t, ents in _TEMPLATES for e in ents]
+    out = []
+    while len(out) < n:
+        perm = rng.permutation(len(grid))
+        out.extend(grid[i] for i in perm)
+    return out[:n]

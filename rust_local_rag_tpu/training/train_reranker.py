@@ -71,6 +71,7 @@ class PromptPairBatcher:
         index_size: int = 50000,
         random_negative_frac: float = 0.2,
         dense_neighbors: Optional[np.ndarray] = None,
+        ood_frac: float = 0.0,
     ):
         self.rng = np.random.default_rng(seed)
         self.seq_len = seq_len
@@ -103,6 +104,15 @@ class PromptPairBatcher:
         # paragraphs BM25 would rank low. Rows align with `paragraphs`
         # (filtered), -1 padded.
         self.dense_neighbors = dense_neighbors
+        # far-out-of-domain junk queries as "no" supervision (training/
+        # ood.py): calibrates the absolute yes-probability the engine's
+        # rejection_threshold gates on
+        self.ood_frac = ood_frac
+        self._junk: List[str] = []
+        if ood_frac > 0:
+            from rust_local_rag_tpu.training.ood import junk_queries
+
+            self._junk = junk_queries(4096, seed=seed)
 
     def _premine(self, bm25, n_neighbors: int = 4, threads: int = 8):
         """[P, n_neighbors] int32 neighbor table; -1 = no mined hit.
@@ -229,7 +239,18 @@ class PromptPairBatcher:
             i = int(self.rng.integers(0, n))
             q, passage = self._query_and_passage(self.paragraphs[i])
             pos_prompts.append(self._prompt(q, passage))
-            neg_prompts.append(self._prompt(q, self._mined_negative(q, i)))
+            if self._junk and self.rng.random() < self.ood_frac:
+                # junk query against ANY corpus passage is a "no": the
+                # pairwise term still orders pos(q+) above it, and the BCE
+                # term drives the absolute yes-probability toward 0 —
+                # which is what the engine's rejection floor reads
+                jq = self._junk[int(self.rng.integers(0, len(self._junk)))]
+                j = int(self.rng.integers(0, n))
+                neg_prompts.append(self._prompt(jq, self.paragraphs[j]))
+            else:
+                neg_prompts.append(
+                    self._prompt(q, self._mined_negative(q, i))
+                )
         pi, pm = self._encode(pos_prompts)
         ni, nm = self._encode(neg_prompts)
         return pi, pm, ni, nm
@@ -279,6 +300,12 @@ def main(argv: Optional[List[str]] = None) -> None:
         "--dense-margin", type=float, default=0.0,
         help="yes/no logit margin above which the committed judge calls "
         "a mined neighbor a false negative and drops it",
+    )
+    ap.add_argument(
+        "--ood-frac", type=float, default=0.0,
+        help="fraction of negative prompts whose query is a synthesized "
+        "far-out-of-domain factoid (training/ood.py) — calibrates the "
+        "absolute yes-probability for the engine's rejection floor",
     )
     args = ap.parse_args(argv)
 
@@ -355,6 +382,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     batcher = PromptPairBatcher(
         train_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
         seq_len=args.seq_len, seed=args.seed, dense_neighbors=dense,
+        ood_frac=args.ood_frac,
     )
     if dense is not None:
         # the dense table was mined over the SAME >=16-word filter the
@@ -366,6 +394,22 @@ def main(argv: Optional[List[str]] = None) -> None:
         seq_len=args.seq_len, seed=args.seed + 1, index_size=10000,
     )
     eval_pi, eval_pm, eval_ni, eval_nm = held.batch(512)
+    # OOD rejection probe: a DISJOINT junk pool (different seed) against
+    # held-out passages; mean yes-probability is the engine rejection
+    # floor's operating signal
+    ood_ids = ood_mask = None
+    if args.ood_frac > 0:
+        from rust_local_rag_tpu.training.ood import junk_queries
+
+        jrng = np.random.default_rng(999)
+        jqs = junk_queries(256, seed=7)
+        ood_prompts = [
+            held._prompt(jq, held.paragraphs[
+                int(jrng.integers(0, len(held.paragraphs)))
+            ])
+            for jq in jqs
+        ]
+        ood_ids, ood_mask = held._encode(ood_prompts)
 
     cfg = RerankerConfig(
         vocab_size=tokenizer.vocab_size,
@@ -460,9 +504,17 @@ def main(argv: Optional[List[str]] = None) -> None:
             )
         if args.eval_every and (done % args.eval_every == 0 or done >= args.steps):
             pa, ca = eval_metrics(params, eval_pi, eval_pm, eval_ni, eval_nm)
+            ood_note = ""
+            if ood_ids is not None:
+                m = _margins(params, jnp.asarray(ood_ids), jnp.asarray(ood_mask))
+                yes_p = jax.nn.sigmoid(m)
+                ood_note = (
+                    f" ood yes-p mean {float(jnp.mean(yes_p)):.3f} "
+                    f"max {float(jnp.max(yes_p)):.3f}"
+                )
             print(
                 f"step {done}: held-out pair acc {float(pa):.3f} "
-                f"cls acc {float(ca):.3f}",
+                f"cls acc {float(ca):.3f}{ood_note}",
                 flush=True,
             )
             # keep the BEST held-out checkpoint, not the final step: the

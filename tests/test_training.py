@@ -459,3 +459,64 @@ def test_cached_denoised_table_roundtrip(monkeypatch, tmp_path):
     # different margin = different key = fresh mine
     mining.cached_denoised_table(texts, n_neighbors=1, margin=0.5)
     assert calls["mine"] == 2
+
+
+def test_ood_junk_queries_deterministic_and_disjoint():
+    from eval_harness.corpus_data import REJECTION_QUERIES
+    from eval_harness.heldout_data import HELDOUT_REJECTION_QUERIES
+    from rust_local_rag_tpu.training.ood import junk_queries
+
+    a = junk_queries(300, seed=3)
+    b = junk_queries(300, seed=3)
+    assert a == b
+    assert len(set(a)) > 50  # real variety, not one template
+    # the synthesized pool must not contain (or lexically anchor on) any
+    # eval rejection query from either split — rejection success is never
+    # memorization
+    eval_rejections = set(REJECTION_QUERIES) | set(HELDOUT_REJECTION_QUERIES)
+    assert not set(a) & eval_rejections
+    banned = {"westphalia", "octopus", "betelgeuse", "amazon",
+              "magic flute", "ethanol", "fifa", "green tea", "tasmania",
+              "eiffel"}
+    for q in a:
+        ql = q.lower()
+        assert not any(t in ql for t in banned), q
+
+
+def test_reranker_batcher_ood_negatives():
+    from rust_local_rag_tpu.models.reranker_service import (
+        DEFAULT_PROMPT_TEMPLATE,
+    )
+    from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+    from rust_local_rag_tpu.training.ood import junk_queries
+    from rust_local_rag_tpu.training.train_reranker import PromptPairBatcher
+
+    tok = HfTokenizer(ASSET_TOK)
+    pars = [
+        f"paragraph {i} " + " ".join(f"word{i}x{j}" for j in range(20))
+        for i in range(24)
+    ]
+    b = PromptPairBatcher(
+        pars, tok, DEFAULT_PROMPT_TEMPLATE, seq_len=96, seed=0,
+        index_size=24, ood_frac=1.0,
+    )
+    # with ood_frac=1.0 every negative prompt embeds a junk query
+    pos_prompts, neg_prompts = [], []
+    n = len(b.paragraphs)
+    for _ in range(16):
+        i = int(b.rng.integers(0, n))
+        q, passage = b._query_and_passage(b.paragraphs[i])
+        pos_prompts.append(b._prompt(q, passage))
+        jq = b._junk[int(b.rng.integers(0, len(b._junk)))]
+        j = int(b.rng.integers(0, n))
+        neg_prompts.append(b._prompt(jq, b.paragraphs[j]))
+    junk_pool = set(junk_queries(4096, seed=0))
+    # drive the real batch() and check shapes + determinism of the stream
+    b2 = PromptPairBatcher(
+        pars, tok, DEFAULT_PROMPT_TEMPLATE, seq_len=96, seed=0,
+        index_size=24, ood_frac=1.0,
+    )
+    pi, pm, ni, nm = b2.batch(8)
+    assert pi.shape == ni.shape == (8, 96)
+    assert pm.sum() > 0 and nm.sum() > 0
+    assert b2._junk and set(b2._junk) <= junk_pool
