@@ -2,11 +2,15 @@
 
 The serving rejection mechanism gates on the judge's absolute yes
 probability (engine rejection_threshold), but a judge trained only on
-in-corpus crops is uncalibrated on far-out-of-domain questions — measured:
-every eval rejection query (history, cooking, astronomy...) scores a
-yes-probability above 0.12 under the v3b judge, so the engine-level floor
-never fires and rejection succeeds only through the eval-side cosine cut
-(see scripts/sweep_rejection.py, flat 0.0-0.12). The reference does not
+in-corpus crops is uncalibrated on far-out-of-domain questions.
+Measured on the v3b judge (direct probe, 2026-08-17): all ten eval
+rejection queries (both splits) score yes-p 0.40-0.49, while REAL dev
+queries against their gold pages score 0.39-0.51 — the distributions
+fully overlap, so NO rejection threshold can separate them; the engine
+floor at 0.045 never fires and rejection succeeds only through the
+eval-side cosine cut (scripts/sweep_rejection.py confirmed flat
+0.0-0.12). The judge ranks well (pairwise term) but its absolute
+probability carries no relevance signal. The reference does not
 have this problem because its judge is a full instruction-tuned LLM that
 answers "no" to junk on its own (/root/reference/src/reranker.rs:519-588
 reads yes/no logprobs from phi4-mini).
