@@ -31,6 +31,14 @@ Two lessons are baked in from round-2 measurements:
   despite 0.846 held-out pair accuracy. The filter (cosine > 0.9 cut) is
   not sufficient: paraphrase-level near-positives below the cut still
   dominate the mined set. BM25-only negatives remain the recipe.
+  Re-re-confirmed (v5 negative result, RocketQA denoise): judging every
+  mined neighbor with the committed cross-encoder and dropping confident
+  "yes" verdicts (46.8% dropped) STILL lost end-to-end — best blend 0.25
+  gave 0.822 hit / 0.637 mrr vs v3b's 0.844 / 0.686, with 0.35 down at
+  0.800 / 0.620 — despite the best held-out pair acc yet (0.863 / 0.782
+  cls). Held-out pair accuracy on mined pairs consistently fails to
+  predict end-to-end value; dense-mined negatives are retired for the
+  judge regardless of filtering.
 * Ranking needs a pairwise objective. Each example scores the positive
   and the mined negative under the same query, and the loss combines
   binary CE on each yes/no margin (absolute calibration, same read-out as
