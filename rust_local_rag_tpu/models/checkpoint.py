@@ -16,14 +16,23 @@ import numpy as np
 
 
 def flatten_params(params: Dict) -> Dict[str, np.ndarray]:
+    # ascontiguousarray is LOAD-BEARING: jax.device_get can return a
+    # strided VIEW when XLA chose a transposed physical layout for a
+    # tensor (measured: a trained reranker lm_head came back with strides
+    # (4, 1536) on a (384, 8193) array), and safetensors' save_file
+    # serializes the raw buffer — silently scrambling the tensor on disk.
+    # That bug shipped corrupted lm_heads in every pre-fix asset: ranking
+    # partly survived (pair acc 0.744 -> 0.695) but absolute calibration
+    # was destroyed (cls acc 0.611 -> 0.500, OOD yes-p 0.001 -> 0.388),
+    # which is why no rejection threshold ever separated junk from real.
     flat: Dict[str, np.ndarray] = {}
     for key, val in params.items():
         if key == "layers":
             for i, layer in enumerate(val):
                 for name, arr in layer.items():
-                    flat[f"layers.{i}.{name}"] = np.asarray(arr)
+                    flat[f"layers.{i}.{name}"] = np.ascontiguousarray(arr)
         else:
-            flat[key] = np.asarray(val)
+            flat[key] = np.ascontiguousarray(val)
     return flat
 
 

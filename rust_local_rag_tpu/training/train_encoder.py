@@ -343,6 +343,24 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     print(f"wrote {args.out}")
 
+    # post-save verification (the non-contiguous-save bug shipped
+    # scrambled tensors once — models/checkpoint.py flatten_params):
+    # reload and confirm the file matches what was trained, beyond f16
+    # rounding, and that the eval-bank accuracy survives the roundtrip
+    from rust_local_rag_tpu.models.checkpoint import flatten_params
+    from rust_local_rag_tpu.models.encoder import load_encoder_checkpoint_full
+
+    reloaded, rcfg, _ = load_encoder_checkpoint_full(args.out)
+    fa, fb = flatten_params(best_params), flatten_params(reloaded)
+    worst = max(
+        (float(np.max(np.abs(fa[k].astype(np.float32)
+                             - fb[k].astype(np.float32)))), k)
+        for k in fa
+    )
+    print(f"reload max |delta| {worst[0]:.6f} ({worst[1]})")
+    acc2 = retrieval_accuracy(reloaded, rcfg or cfg, bank)
+    print(f"reloaded checkpoint: held-out retrieval acc {acc2:.3f}")
+
 
 if __name__ == "__main__":
     main()

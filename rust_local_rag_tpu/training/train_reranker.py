@@ -548,6 +548,43 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     print(f"wrote {args.out}")
 
+    # post-save verification: reload the file and re-run the probes so a
+    # save/load divergence can never ship silently
+    from rust_local_rag_tpu.models.encoder import load_safetensors_params
+    from rust_local_rag_tpu.models.checkpoint import flatten_params
+
+    reloaded = load_safetensors_params(args.out)
+    if os.environ.get("RAG_TPU_SAVE_DEBUG"):
+        a = flatten_params(best_params)["lm_head"]
+        from safetensors.numpy import load_file as _lf
+
+        b = _lf(args.out)["lm_head"]
+        print("DEBUG lm_head best:", a.dtype, a.shape, a.strides,
+              a.flags["C_CONTIGUOUS"], np.asarray(a).ravel()[:4])
+        print("DEBUG lm_head file:", b.dtype, b.shape,
+              np.asarray(b, dtype=np.float32).ravel()[:4])
+        np.save("/tmp/lm_head_best.npy", np.asarray(a))
+    fa, fb = flatten_params(best_params), flatten_params(reloaded)
+    worst = max(
+        (float(np.max(np.abs(fa[k].astype(np.float32)
+                             - fb[k].astype(np.float32)))), k)
+        for k in fa
+    )
+    print(f"reload max |delta| {worst[0]:.6f} ({worst[1]})")
+    pa2, ca2 = eval_metrics(reloaded, eval_pi, eval_pm, eval_ni, eval_nm)
+    note2 = ""
+    if ood_ids is not None:
+        m2 = _margins(reloaded, jnp.asarray(ood_ids), jnp.asarray(ood_mask))
+        yp2 = jax.nn.sigmoid(m2)
+        note2 = (
+            f" ood yes-p mean {float(jnp.mean(yp2)):.3f} "
+            f"max {float(jnp.max(yp2)):.3f}"
+        )
+    print(
+        f"reloaded checkpoint: pair acc {float(pa2):.3f} "
+        f"cls acc {float(ca2):.3f}{note2}"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -69,3 +69,28 @@ def test_train_then_checkpoint_resume(tmp_path):
     resumed = shard_params(load_params(path), mesh, CFG)
     resumed, loss2 = step(resumed, *batch)
     assert float(loss2) < float(loss1)
+
+
+def test_save_non_contiguous_params_roundtrips_exactly(tmp_path):
+    """Regression: jax.device_get can hand back transposed-layout VIEWS
+    (strided, non-C-contiguous); safetensors serializes raw buffers, so
+    without ascontiguousarray the saved tensor is silently scrambled —
+    this shipped corrupted lm_heads in every pre-fix trained asset."""
+    import numpy as np
+
+    from rust_local_rag_tpu.models.checkpoint import save_params
+    from rust_local_rag_tpu.models.encoder import load_safetensors_params
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((64, 48)).astype(np.float32)
+    view = base.T  # (48, 64) non-contiguous view
+    assert not view.flags["C_CONTIGUOUS"]
+    params = {"lm_head": view, "embed": base,
+              "layers": [{"wq": base[:16, :16].T}]}
+    path = tmp_path / "nc.safetensors"
+    save_params(params, str(path))
+    loaded = load_safetensors_params(str(path))
+    np.testing.assert_array_equal(np.asarray(loaded["lm_head"]), view)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["layers"][0]["wq"]), base[:16, :16].T
+    )
