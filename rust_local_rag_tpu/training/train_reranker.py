@@ -44,6 +44,19 @@ Two lessons are baked in from round-2 measurements:
   binary CE on each yes/no margin (absolute calibration, same read-out as
   serving: logits[yes] vs logits[no]) with a pairwise logistic term on
   the margin DIFFERENCE (ordering).
+* The CLEAN judge is a filter, not a blender (v7 lesson). Every pre-fix
+  judge shipped with a scrambled lm_head (models/checkpoint.py
+  non-contiguous save bug), so the historical 0.35/0.25 blend optima were
+  measured on noise-calibrated scores. Judges saved through the fixed
+  path (v7 = BM25 negatives + --ood-frac 0.15; v8 = 0.05) LOSE at every
+  blend weight > 0 — trained on verbatim crop queries, they are
+  confidently wrong on paraphrase queries — but WIN as the engine
+  rejection floor over the retrieval_top_k pool: dev 0.889 hit / 0.740
+  mrr / 1.0 rejection at threshold 0.06 with reranker weight 0.0, vs
+  0.822 / 0.678 reranker-off. Rejection is robust across thresholds
+  0.03-0.12 (junk yes-p ~0.000 on template junk); real-world junk
+  transfers partially (held-out rejection 0.4 -> 0.6) — broader OOD
+  banks are the known next step.
 """
 
 from __future__ import annotations

@@ -92,13 +92,28 @@ def main() -> int:
         base_cfg = yaml.safe_load(
             open(os.path.join(repo, "eval_harness", "configs", "baseline.yaml"))
         )
-        points = [
-            ("rr_off", {"use_reranker": False}),
-            ("rr_0.5", {"weights": {"reranker": 0.5, "initial": 0.5}}),
-            ("rr_0.35", {"weights": {"reranker": 0.35, "initial": 0.65}}),
-            ("rr_0.25", {"weights": {"reranker": 0.25, "initial": 0.75}}),
-            ("rr_0.7", {"weights": {"reranker": 0.7, "initial": 0.3}}),
-        ]
+        if len(sys.argv) > 1:
+            # custom points: comma-separated reranker weights ("off" for
+            # the no-reranker control; 0.0 = judge runs as the rejection
+            # gate only, ranking untouched)
+            points = []
+            for tok_w in sys.argv[1].split(","):
+                if tok_w == "off":
+                    points.append(("rr_off", {"use_reranker": False}))
+                else:
+                    w = float(tok_w)
+                    points.append((
+                        f"rr_{tok_w}",
+                        {"weights": {"reranker": w, "initial": 1.0 - w}},
+                    ))
+        else:
+            points = [
+                ("rr_off", {"use_reranker": False}),
+                ("rr_0.5", {"weights": {"reranker": 0.5, "initial": 0.5}}),
+                ("rr_0.35", {"weights": {"reranker": 0.35, "initial": 0.65}}),
+                ("rr_0.25", {"weights": {"reranker": 0.25, "initial": 0.75}}),
+                ("rr_0.7", {"weights": {"reranker": 0.7, "initial": 0.3}}),
+            ]
         out_dir = os.path.join(work, "reports")
         os.makedirs(out_dir, exist_ok=True)
         results = {}
@@ -144,7 +159,10 @@ def main() -> int:
             srv.wait(timeout=10)
         except subprocess.TimeoutExpired:
             srv.kill()
-        shutil.rmtree(work, ignore_errors=True)
+        if os.environ.get("SWEEP_KEEP"):
+            print(f"reports kept in {work}")
+        else:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
