@@ -55,8 +55,11 @@ Two lessons are baked in from round-2 measurements:
   mrr / 1.0 rejection at threshold 0.06 with reranker weight 0.0, vs
   0.822 / 0.678 reranker-off. Rejection is robust across thresholds
   0.03-0.12 (junk yes-p ~0.000 on template junk); real-world junk
-  transfers partially (held-out rejection 0.4 -> 0.6) — broader OOD
-  banks are the known next step.
+  transfers partially (held-out rejection 0.4 -> 0.6). A v9 run with the
+  widened class-level banks (training/ood.py expansion) matched v7's dev
+  hit at its own optimum (0.889 @ threshold 0.045) but with lower mrr
+  (0.695 vs 0.740), so v7 stays committed; the wider banks remain the
+  default data for future runs.
 """
 
 from __future__ import annotations
