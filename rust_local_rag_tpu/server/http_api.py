@@ -23,6 +23,7 @@ import asyncio
 import concurrent.futures
 import json
 import logging
+import math
 import os
 from typing import Optional
 
@@ -192,6 +193,10 @@ def build_app(ctx: AppContext) -> web.Application:
             diversity = float(body.get("diversity_factor", 0.3))
         except (TypeError, ValueError):
             return web.Response(status=400, text="invalid top_k/diversity_factor")
+        # json.loads accepts the NaN/Infinity literals, and NaN slides
+        # through a min/max clamp unchanged — reject like the MCP path
+        if not math.isfinite(diversity):
+            return web.Response(status=400, text="invalid top_k/diversity_factor")
         diversity = min(max(diversity, 0.0), 1.0)
         weights = (
             QueryWeights.from_dict(body["weights"])
@@ -204,6 +209,8 @@ def build_app(ctx: AppContext) -> web.Application:
             rejection = body.get("rejection_threshold")
             rejection = None if rejection is None else float(rejection)
         except (TypeError, ValueError):
+            return web.Response(status=400, text="invalid rejection_threshold")
+        if rejection is not None and not math.isfinite(rejection):
             return web.Response(status=400, text="invalid rejection_threshold")
         use_reranker = body.get("use_reranker", True)
         if not isinstance(use_reranker, bool):

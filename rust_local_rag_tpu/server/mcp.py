@@ -217,15 +217,26 @@ class McpHandler:
         query = args.get("query", "")
         # invalid argument types are -32602 Invalid params, mirroring the
         # HTTP handler's 400s (http_api.py:203-210) — not internal errors
+        import math
+
         try:
             top_k = min(int(args.get("top_k") or 5), MAX_TOP_K)
             diversity = float(args.get("diversity_factor", 0.3))
             rejection = args.get("rejection_threshold")
             rejection = None if rejection is None else float(rejection)
-        except (TypeError, ValueError) as e:
+            raw_w = args.get("weights")
+            if raw_w is not None and not isinstance(raw_w, dict):
+                raise ValueError("weights must be an object")
+            weights = QueryWeights.from_dict(raw_w)
+        except (TypeError, ValueError, AttributeError) as e:
             raise McpError(-32602, f"Invalid params: {e}")
+        # float("nan")/float("inf") parse but are not valid factors — and
+        # NaN slides through a min/max clamp unchanged
+        if not math.isfinite(diversity) or (
+            rejection is not None and not math.isfinite(rejection)
+        ):
+            raise McpError(-32602, "Invalid params: non-finite number")
         diversity = min(max(diversity, 0.0), 1.0)
-        weights = QueryWeights.from_dict(args.get("weights"))
         use_reranker = args.get("use_reranker", True)
         if not isinstance(use_reranker, bool):
             raise McpError(-32602, "Invalid params: use_reranker must be a boolean")

@@ -40,9 +40,6 @@ _TEMPLATES = [
      ["Hundred Years' War", "Meiji Restoration", "California gold rush",
       "construction of the Suez Canal", "reign of Charlemagne",
       "Bronze Age collapse", "first Tour de France"]),
-    ("Who painted {}?",
-     ["the Night Watch", "Starry Night", "the School of Athens",
-      "Guernica", "the Birth of Venus"]),
     ("How long should I {} before serving?",
      ["rest a roast chicken", "proof sourdough", "marinate lamb skewers",
       "chill a custard tart", "brine pork chops"]),
@@ -74,8 +71,6 @@ _TEMPLATES = [
     ("Who was the first person to {}?",
      ["summit Annapurna", "swim the English Channel",
       "reach the South Pole", "circumnavigate the globe solo"]),
-    ("What is the chemical symbol for {}?",
-     ["tungsten", "antimony", "mercury", "potassium"]),
     ("How many strings does a {} have?",
      ["ukulele", "mandolin", "sitar", "balalaika", "harp"]),
     # Bank expansion (2026-08-18): the first held-out rejection run showed
@@ -99,9 +94,6 @@ _TEMPLATES = [
     ("When was {} completed, and who designed it?",
      ["the Golden Gate Bridge", "the Sydney Opera House",
       "the Sagrada Familia", "the Brooklyn Bridge"]),
-    ("How deep is {} at its deepest point?",
-     ["Lake Baikal", "the Mariana Trench", "the Grand Canyon",
-      "Loch Ness"]),
     ("What is the wingspan of a {}?",
      ["wandering albatross", "California condor", "monarch butterfly",
       "peregrine falcon"]),
@@ -112,8 +104,6 @@ _TEMPLATES = [
     ("Who wrote the novel {}?",
      ["Crime and Punishment", "Middlemarch", "One Hundred Years of Solitude",
       "The Remains of the Day"]),
-    ("What language family does {} belong to?",
-     ["Hungarian", "Basque", "Swahili", "Quechua"]),
     ("What is the currency of {}?",
      ["Iceland", "Vietnam", "Morocco", "Peru"]),
     ("How long is the gestation period of a {}?",
@@ -140,11 +130,39 @@ _TEMPLATES = [
 ]
 
 
-def junk_queries(n: int, seed: int = 0) -> List[str]:
+# Probe-only templates: RESERVED from training so the trainer's in-run
+# "ood yes-p" metric measures generalization to unseen junk, not
+# memorization of the training grid (the original probe reshuffled the
+# same grid — a review finding; the operative evidence for the committed
+# v7 judge remains the END-TO-END dev rejection on the eval's real junk
+# queries, which were never in any training pool).
+_PROBE_TEMPLATES = [
+    ("Who painted {}?",
+     ["the Night Watch", "Starry Night", "the School of Athens",
+      "Guernica", "the Birth of Venus"]),
+    ("What is the chemical symbol for {}?",
+     ["tungsten", "antimony", "mercury", "potassium"]),
+    ("How deep is {} at its deepest point?",
+     ["Lake Baikal", "the Mariana Trench", "the Grand Canyon",
+      "Loch Ness"]),
+    ("What language family does {} belong to?",
+     ["Hungarian", "Basque", "Swahili", "Quechua"]),
+]
+
+
+def junk_queries(n: int, seed: int = 0, split: str = "train") -> List[str]:
     """n deterministic far-OOD factoid queries (with replacement across
-    the template x entity grid, shuffled by seed)."""
+    the template x entity grid, shuffled by seed). split="train" is the
+    trainer's pool; split="probe" draws ONLY from templates reserved out
+    of training, so probe yes-probabilities measure generalization."""
+    if split == "train":
+        templates = _TEMPLATES
+    elif split == "probe":
+        templates = _PROBE_TEMPLATES
+    else:
+        raise ValueError(f"unknown split {split!r}")
     rng = np.random.default_rng(seed)
-    grid = [t.format(e) for t, ents in _TEMPLATES for e in ents]
+    grid = [t.format(e) for t, ents in templates for e in ents]
     out = []
     while len(out) < n:
         perm = rng.permutation(len(grid))

@@ -418,15 +418,16 @@ def main(argv: Optional[List[str]] = None) -> None:
         seq_len=args.seq_len, seed=args.seed + 1, index_size=10000,
     )
     eval_pi, eval_pm, eval_ni, eval_nm = held.batch(512)
-    # OOD rejection probe: a DISJOINT junk pool (different seed) against
-    # held-out passages; mean yes-probability is the engine rejection
-    # floor's operating signal
+    # OOD rejection probe: junk from templates RESERVED out of training
+    # (ood.py split="probe" — a seed reshuffle of the training grid would
+    # measure memorization, not generalization) against held-out passages;
+    # mean yes-probability is the engine rejection floor's operating signal
     ood_ids = ood_mask = None
     if args.ood_frac > 0:
         from rust_local_rag_tpu.training.ood import junk_queries
 
         jrng = np.random.default_rng(999)
-        jqs = junk_queries(256, seed=7)
+        jqs = junk_queries(256, seed=7, split="probe")
         ood_prompts = [
             held._prompt(jq, held.paragraphs[
                 int(jrng.integers(0, len(held.paragraphs)))

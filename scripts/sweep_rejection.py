@@ -1,143 +1,45 @@
 """Rejection-threshold sweep: boots one server with the current env
-(point ENCODER_WEIGHTS/RERANKER_WEIGHTS at staged checkpoints to calibrate
-a new asset) and evaluates the DEV-split baseline at several
-rejection_threshold values. Prints one line per point.
+(point ENCODER_WEIGHTS/RERANKER_WEIGHTS at staged checkpoints to
+calibrate a new asset) and evaluates the DEV-split baseline at several
+rejection_threshold values.
 
-The threshold is the engine-level confidence floor (reranker absolute
-yes-probability with reranking on); results below it return empty, which
-is how rejection queries succeed — but a floor set too high suppresses
-true results and costs hit rate. DEV SPLIT ONLY: the held-out split must
-never drive this choice (eval_harness/heldout_data.py contract).
+The threshold is the engine-level confidence floor (judge absolute
+yes-probability with reranking on); results below it are dropped, which
+is both how rejection queries return nothing AND how the gate-judge
+prunes noise from the retrieval pool — but a floor set too high drops
+true results. DEV SPLIT ONLY: the held-out split must never drive this
+choice (eval_harness/heldout_data.py contract).
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/sweep_rejection.py
+    python scripts/sweep_rejection.py "0.02,0.04,0.06"
+
+SWEEP_KEEP=1 preserves per-query reports.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
-import socket
-import subprocess
 import sys
-import tempfile
-import time
 
-import yaml
+from sweep_common import eval_server, run_points
 
 THRESHOLDS = [0.0, 0.03, 0.045, 0.06, 0.08, 0.10, 0.12]
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
 def main() -> int:
-    import requests
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    work = tempfile.mkdtemp(prefix="sweep_rej_")
-    docs, data, logs = (os.path.join(work, d) for d in ("documents", "data", "logs"))
-    for d in (docs, data, logs):
-        os.makedirs(d)
-
-    from eval_harness.corpus import generate_corpus, generate_ground_truth
-
-    generate_corpus(docs)
-    gt = os.path.join(work, "queries.jsonl")
-    generate_ground_truth(gt)
-
-    port = _free_port()
-    env = dict(os.environ)
-    env.update(
-        DATA_DIR=data,
-        DOCUMENTS_DIR=docs,
-        LOG_DIR=logs,
-        MCP_HTTP_BIND=f"127.0.0.1:{port}",
-        DEV="1",
-        RAG_TPU_RERANK_MODEL="tpu-reranker",
-        JAX_COMPILATION_CACHE_DIR=os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", "/tmp/rag_tpu_jax_cache"
-        ),
+    thresholds = (
+        [float(t) for t in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else THRESHOLDS
     )
-    base = f"http://127.0.0.1:{port}"
-    srv = subprocess.Popen(
-        [sys.executable, "-m", "rust_local_rag_tpu"],
-        env=env,
-        cwd=repo,
-        stdout=open(os.path.join(work, "server.out"), "w"),
-        stderr=subprocess.STDOUT,
-    )
-    try:
-        for _ in range(900):
-            try:
-                if requests.get(f"{base}/readyz", timeout=3).status_code == 200:
-                    break
-            except requests.RequestException:
-                pass
-            if srv.poll() is not None:
-                out = os.path.join(work, "server.out")
-                if os.path.exists(out):
-                    with open(out) as f:
-                        print("---- server.out tail ----")
-                        print("".join(f.readlines()[-40:]))
-                raise RuntimeError(f"server died (exit {srv.returncode})")
-            time.sleep(2)
-        requests.post(f"{base}/reindex", timeout=10)
-        for _ in range(600):
-            if requests.get(f"{base}/jobs/active", timeout=10).json() is None:
-                break
-            time.sleep(3)
-        print("indexed:", requests.get(f"{base}/stats", timeout=10).json())
-
-        from eval_harness.run import main as eval_main
-
-        base_cfg = yaml.safe_load(
-            open(os.path.join(repo, "eval_harness", "configs", "baseline.yaml"))
-        )
-        out_dir = os.path.join(work, "reports")
-        os.makedirs(out_dir, exist_ok=True)
-        results = {}
-        for thr in THRESHOLDS:
-            name = f"rej_{thr:g}".replace(".", "p")
-            cfg = dict(base_cfg)
-            cfg["name"] = name
-            params = dict(cfg.get("search_params") or {})
-            params["rejection_threshold"] = thr
-            cfg["search_params"] = params
-            cfg_path = os.path.join(work, f"{name}.yaml")
-            yaml.safe_dump(cfg, open(cfg_path, "w"))
-            eval_main(
-                [
-                    "evaluate",
-                    "--config", cfg_path,
-                    "--endpoint", base,
-                    "--ground-truth", gt,
-                    "--out", out_dir,
-                ]
-            )
-            reports = sorted(
-                f for f in os.listdir(out_dir)
-                if f.startswith(f"eval_{name}_") and f.endswith(".json")
-            )
-            s = json.load(open(os.path.join(out_dir, reports[-1])))["summary"]
-            results[thr] = {
-                "hit": round(s["hit_rate_mean"], 3),
-                "mrr": round(s["mrr_mean"], 3),
-                "rej": round(s["rejection_success_rate"], 3),
-            }
-            print(f"threshold {thr}: {results[thr]}")
-        print(json.dumps(results))
-        return 0
-    finally:
-        srv.terminate()
-        try:
-            srv.wait(timeout=10)
-        except subprocess.TimeoutExpired:
-            srv.kill()
-        shutil.rmtree(work, ignore_errors=True)
+    points = [
+        (f"rej_{t:g}".replace(".", "p"), {"rejection_threshold": t})
+        for t in thresholds
+    ]
+    with eval_server("sweep_rej_") as (base, gt, work):
+        results = run_points(base, gt, work, points)
+    print(json.dumps({str(t): r for t, r in zip(thresholds, results.values())}))
+    return 0
 
 
 if __name__ == "__main__":

@@ -329,9 +329,27 @@ def test_mcp_search_invalid_arg_types(server):
         {"query": "x", "top_k": "three"},
         {"query": "x", "diversity_factor": "lots"},
         {"query": "x", "use_reranker": "false"},
+        {"query": "x", "weights": "heavy"},
+        {"query": "x", "weights": [1, 2]},
+        {"query": "x", "diversity_factor": "nan"},
+        {"query": "x", "rejection_threshold": "inf"},
     ):
         out = server.tool("search_documents", args)
         assert out["error"]["code"] == -32602, args
+
+
+def test_http_search_rejects_non_finite(server):
+    # json.loads accepts NaN/Infinity literals; the clamp must not pass
+    # them through
+    for body in (
+        '{"query": "x", "diversity_factor": NaN}',
+        '{"query": "x", "rejection_threshold": Infinity}',
+    ):
+        r = requests.post(
+            f"{server.base}/search", data=body,
+            headers={"Content-Type": "application/json"}, timeout=10,
+        )
+        assert r.status_code == 400, body
 
 
 def test_mcp_non_object_payload_invalid_request(server):

@@ -483,7 +483,10 @@ def test_ood_junk_queries_deterministic_and_disjoint():
         assert not any(t in ql for t in banned), q
 
 
-def test_reranker_batcher_ood_negatives():
+def test_reranker_batcher_ood_negatives(monkeypatch):
+    """With ood_frac=1.0, EVERY negative prompt must embed a junk query
+    from the training split (and the mined-negative path must never run);
+    with ood_frac=0.0 no junk query may appear."""
     from rust_local_rag_tpu.models.reranker_service import (
         DEFAULT_PROMPT_TEMPLATE,
     )
@@ -500,23 +503,35 @@ def test_reranker_batcher_ood_negatives():
         pars, tok, DEFAULT_PROMPT_TEMPLATE, seq_len=96, seed=0,
         index_size=24, ood_frac=1.0,
     )
-    # with ood_frac=1.0 every negative prompt embeds a junk query
-    pos_prompts, neg_prompts = [], []
-    n = len(b.paragraphs)
-    for _ in range(16):
-        i = int(b.rng.integers(0, n))
-        q, passage = b._query_and_passage(b.paragraphs[i])
-        pos_prompts.append(b._prompt(q, passage))
-        jq = b._junk[int(b.rng.integers(0, len(b._junk)))]
-        j = int(b.rng.integers(0, n))
-        neg_prompts.append(b._prompt(jq, b.paragraphs[j]))
-    junk_pool = set(junk_queries(4096, seed=0))
-    # drive the real batch() and check shapes + determinism of the stream
-    b2 = PromptPairBatcher(
-        pars, tok, DEFAULT_PROMPT_TEMPLATE, seq_len=96, seed=0,
-        index_size=24, ood_frac=1.0,
+    junk_pool = set(junk_queries(4096, seed=0, split="train"))
+
+    captured = []
+    real_prompt = PromptPairBatcher._prompt
+
+    def spy_prompt(self, q, text):
+        captured.append(q)
+        return real_prompt(self, q, text)
+
+    monkeypatch.setattr(PromptPairBatcher, "_prompt", spy_prompt)
+    mined_calls = []
+    monkeypatch.setattr(
+        PromptPairBatcher, "_mined_negative",
+        lambda self, q, avoid: mined_calls.append(q) or self.paragraphs[0],
     )
-    pi, pm, ni, nm = b2.batch(8)
+    pi, pm, ni, nm = b.batch(8)
     assert pi.shape == ni.shape == (8, 96)
     assert pm.sum() > 0 and nm.sum() > 0
-    assert b2._junk and set(b2._junk) <= junk_pool
+    # prompts alternate pos, then 8 negs? batch() builds pos list then neg
+    # list per example in one loop: order is pos,neg,pos,neg...
+    neg_queries = captured[1::2]
+    assert len(neg_queries) == 8
+    assert all(q in junk_pool for q in neg_queries), neg_queries
+    assert not mined_calls  # ood path replaced every mined negative
+
+    captured.clear()
+    b0 = PromptPairBatcher(
+        pars, tok, DEFAULT_PROMPT_TEMPLATE, seq_len=96, seed=0,
+        index_size=24, ood_frac=0.0,
+    )
+    b0.batch(8)
+    assert all(q not in junk_pool for q in captured[1::2])
