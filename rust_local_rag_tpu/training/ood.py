@@ -136,6 +136,14 @@ _TEMPLATES = [
 # same grid — a review finding; the operative evidence for the committed
 # v7 judge remains the END-TO-END dev rejection on the eval's real junk
 # queries, which were never in any training pool).
+#
+# Honest baseline for the committed v7 judge on THIS unseen split
+# (measured 2026-08-18): yes-p mean 0.09 / max 0.68 against harvested
+# passages, mean 0.21 / max 0.98 against authored-manual pages — 18-29%
+# of unseen-template junk clears the 0.06 operating floor. Real OOD
+# generalization is partial (consistent with held-out rejection 0.6);
+# trained-grid junk sits at ~0.000. Future judges should push the probe
+# numbers down, not just the (easy) training-pool ones.
 _PROBE_TEMPLATES = [
     ("Who painted {}?",
      ["the Night Watch", "Starry Night", "the School of Athens",
