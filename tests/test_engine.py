@@ -260,6 +260,33 @@ def test_rejection_threshold_param(engine):
     assert all(r.embedding_score >= mid for r in some)
 
 
+def test_rejection_gate_uses_reranker_confidence(engine_reranked):
+    """With reranking on, the rejection floor reads the judge's absolute
+    yes-probability (reranker_score), NOT the cosine — this is the
+    gate-judge serving mode (baseline.yaml: weight 0.0, threshold 0.06):
+    results the judge is unconfident about are pruned from the pool even
+    when their cosine is high."""
+    q = list(DOCS.values())[0].split()[0]
+    full = engine_reranked.search(q, 3)
+    assert full and all(r.reranker_score is not None for r in full)
+    scores = sorted(r.reranker_score for r in full)
+    # a floor above every judge confidence empties the result list even
+    # though cosines are high
+    assert engine_reranked.search(
+        q, 3, rejection_threshold=scores[-1] + 0.01) == []
+    # a floor between judge confidences filters BY reranker_score
+    if scores[0] < scores[-1]:
+        mid = (scores[0] + scores[-1]) / 2
+        some = engine_reranked.search(q, 3, rejection_threshold=mid)
+        assert 0 < len(some) < len(full)
+        assert all(r.reranker_score >= mid for r in some)
+    # with the reranker toggled off per-request, the SAME threshold
+    # applies to the cosine instead
+    cos_off = engine_reranked.search(
+        q, 3, rejection_threshold=1.1, use_reranker=False)
+    assert cos_off == []
+
+
 def test_rejection_threshold_env(tmp_path, monkeypatch):
     monkeypatch.setenv("RAG_TPU_REJECTION_THRESHOLD", "1.1")
     svc = EmbeddingService(HashEncoder(dim=DIM, model_name="fake-test-model"))
