@@ -218,11 +218,19 @@ def cached_denoised_table(
 
     h = hashlib.sha256()
     h.update(f"dense|{n_neighbors}|{margin}|".encode())
-    for asset in ("encoder.safetensors", "reranker.safetensors"):
-        p = default_asset(asset)
+    # Hash the RESOLVED weights paths: mine_dense_neighbors and
+    # denoise_with_reranker honor the ENCODER_WEIGHTS / RERANKER_WEIGHTS env
+    # overrides, so a trainer run against a staged checkpoint must get a
+    # distinct cache key (not silently reuse a table mined under the
+    # committed assets — advisor r2 finding).
+    for env_key, asset in (
+        ("ENCODER_WEIGHTS", "encoder.safetensors"),
+        ("RERANKER_WEIGHTS", "reranker.safetensors"),
+    ):
+        p = os.environ.get(env_key) or default_asset(asset)
         st = os.stat(p) if p and os.path.exists(p) else None
         h.update(
-            f"{asset}:{st.st_size}:{st.st_mtime_ns}|".encode()
+            f"{asset}:{p}:{st.st_size}:{st.st_mtime_ns}|".encode()
             if st
             else f"{asset}:none|".encode()
         )
