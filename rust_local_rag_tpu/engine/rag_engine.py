@@ -40,9 +40,12 @@ from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
 from rust_local_rag_tpu.ops.hybrid import (
     LEX_WIDTH,
     hybrid_topk,
+    hybrid_topk_packed,
     hybrid_topk_quantized,
+    hybrid_topk_quantized_packed,
     lex_width_for,
     pack_sparse_lex,
+    unpack_topk,
 )
 from rust_local_rag_tpu.ops.mmr import (
     mmr_select,
@@ -387,9 +390,9 @@ class RagEngine:
             )
             rows.append(_normalize_vec(emb))
 
-        self.store.add_chunks(metas, np.stack(rows))
-        for m in metas:
-            self.lexical_index.add_chunk(m.id, m.text)
+        slots = self.store.add_chunks(metas, np.stack(rows))
+        for m, slot in zip(metas, slots):
+            self.lexical_index.add_chunk(m.id, m.text, slot)
 
         self.document_hashes[filename] = document_hash
         self.validate_index_sync()
@@ -414,7 +417,7 @@ class RagEngine:
         for slot, meta in self.store.iter_meta():
             if not self.lexical_index.contains(meta.id):
                 logger.debug("Re-adding missing chunk %s to lexical index", meta.id)
-                self.lexical_index.add_chunk(meta.id, meta.text)
+                self.lexical_index.add_chunk(meta.id, meta.text, slot)
         valid_docs = {m.document_name for _, m in self.store.iter_meta()}
         for doc in [d for d in self.document_hashes if d not in valid_docs]:
             logger.debug("Removing orphaned document hash for %s", doc)
@@ -471,11 +474,22 @@ class RagEngine:
         nq_pad = max(_bucket_batch(nq), dp)
         nq_pad = ((nq_pad + dp - 1) // dp) * dp
 
-        q_emb = self.embedding_service.get_query_embeddings(queries)
-        q_emb_p = np.zeros((nq_pad, q_emb.shape[1]), dtype=np.float32)
-        for i in range(nq):
-            q_emb_p[i] = _normalize_vec(q_emb[i])
-        q_emb = q_emb_p
+        # Query embeddings: stay ON DEVICE when the encoder can produce them
+        # there (saves a device->host RPC per batch — the fetched vectors
+        # were only re-uploaded into the search dispatch). Host fallback for
+        # hash/fake encoders and for mesh-sharded serving (device_put with
+        # the mesh sharding is handled by the host lane).
+        q_emb = None
+        if self._mesh is None:
+            dev = self.embedding_service.get_query_embeddings_device(queries)
+            if dev is not None and dev.shape[0] == nq_pad:
+                q_emb = dev  # unit-normalized on device
+        if q_emb is None:
+            host = self.embedding_service.get_query_embeddings(queries)
+            q_emb_p = np.zeros((nq_pad, host.shape[1]), dtype=np.float32)
+            for i in range(nq):
+                q_emb_p[i] = _normalize_vec(host[i])
+            q_emb = jnp.asarray(q_emb_p)
 
         # Lexical candidates per query: top (top_k * 5) like the reference
         # (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the
@@ -487,29 +501,39 @@ class RagEngine:
         lex_width = lex_width_for(lex_request)
         lex_slots = np.full((nq_pad, lex_width), -1, dtype=np.int32)
         lex_vals = np.zeros((nq_pad, lex_width), dtype=np.float32)
-        for qi, query in enumerate(queries):
-            pairs = self.lexical_index.score(query, min(lex_request, lex_width))
-            s, v = pack_sparse_lex(
-                pairs,
-                lambda cid: (
-                    self.store.slot_for_id(cid)
-                    if self.store.contains(cid)
-                    else None
-                ),
-                width=lex_width,
-            )
-            lex_slots[qi] = s[0]
-            lex_vals[qi] = v[0]
+        limit = min(lex_request, lex_width)
+        if getattr(self.lexical_index, "slots_aligned", False):
+            # hot path: hits land as store slots straight in the row
+            # buffers (no per-hit Python tuples / id->slot dict walks)
+            for qi, query in enumerate(queries):
+                self.lexical_index.score_slots_into(
+                    query, limit, lex_slots[qi], lex_vals[qi]
+                )
+        else:
+            for qi, query in enumerate(queries):
+                pairs = self.lexical_index.score(query, limit)
+                s, v = pack_sparse_lex(
+                    pairs,
+                    lambda cid: (
+                        self.store.slot_for_id(cid)
+                        if self.store.contains(cid)
+                        else None
+                    ),
+                    width=lex_width,
+                )
+                lex_slots[qi] = s[0]
+                lex_vals[qi] = v[0]
 
         initial_k = min(len(self.store), max(top_k * 3, top_k))
 
+        sims_b = None
         if self.store.quantized and self._mesh is not None:
             from rust_local_rag_tpu.parallel.sharded_search import (
                 sharded_hybrid_topk_quantized,
             )
 
             out = sharded_hybrid_topk_quantized(
-                jnp.asarray(q_emb),
+                q_emb,
                 self.store.corpus(),
                 self.store.scales(),
                 self.store.valid_mask(),
@@ -522,19 +546,6 @@ class RagEngine:
                 corpus_axis=self._corpus_axes,
                 with_sims=collect_sims,
                 data_axis=self._data_axis,
-            )
-        elif self.store.quantized:
-            out = hybrid_topk_quantized(
-                jnp.asarray(q_emb),
-                self.store.corpus(),
-                self.store.scales(),
-                self.store.valid_mask(),
-                jnp.asarray(lex_slots),
-                jnp.asarray(lex_vals),
-                jnp.float32(resolved.embedding),
-                jnp.float32(resolved.lexical),
-                _bucket_k(initial_k),
-                with_sims=collect_sims,
             )
         elif self._mesh is not None:
             from rust_local_rag_tpu.parallel.sharded_search import (
@@ -542,7 +553,7 @@ class RagEngine:
             )
 
             out = sharded_hybrid_topk(
-                jnp.asarray(q_emb),
+                q_emb,
                 self.store.corpus(),
                 self.store.valid_mask(),
                 jnp.asarray(lex_slots),
@@ -555,44 +566,122 @@ class RagEngine:
                 with_sims=collect_sims,
                 data_axis=self._data_axis,
             )
-        else:
-            out = hybrid_topk(
-                jnp.asarray(q_emb),
+        elif collect_sims:
+            fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
+            extra = (self.store.scales(),) if self.store.quantized else ()
+            out = fn(
+                q_emb,
                 self.store.corpus(),
+                *extra,
                 self.store.valid_mask(),
                 jnp.asarray(lex_slots),
                 jnp.asarray(lex_vals),
                 jnp.float32(resolved.embedding),
                 jnp.float32(resolved.lexical),
                 _bucket_k(initial_k),
-                with_sims=collect_sims,
+                with_sims=True,
             )
-        if collect_sims:
-            vals_b, emb_b, lex_b, idx_b, sims_b = out
-            sims_b = np.asarray(sims_b)[:nq]
         else:
-            vals_b, emb_b, lex_b, idx_b = out
-            sims_b = None
-        vals_b = np.asarray(vals_b)[:nq, :initial_k]
-        emb_b = np.asarray(emb_b)[:nq, :initial_k]
-        lex_b = np.asarray(lex_b)[:nq, :initial_k]
-        idx_b = np.asarray(idx_b)[:nq, :initial_k]
+            # hot path: the four outputs come back PACKED in one array so
+            # the host pays ONE device->host RPC instead of four (~40-50 ms
+            # each through a remote-attached TPU)
+            fn = (
+                hybrid_topk_quantized_packed
+                if self.store.quantized
+                else hybrid_topk_packed
+            )
+            extra = (self.store.scales(),) if self.store.quantized else ()
+            out = fn(
+                q_emb,
+                self.store.corpus(),
+                *extra,
+                self.store.valid_mask(),
+                jnp.asarray(lex_slots),
+                jnp.asarray(lex_vals),
+                jnp.float32(resolved.embedding),
+                jnp.float32(resolved.lexical),
+                _bucket_k(initial_k),
+            )
+            out = None, out  # marker for the packed unpack below
 
         # Lazy candidate materialization: Python dicts/metas are built only
-        # for the rows that can be consumed downstream. With reranking on,
-        # that is the whole initial_k pool (every candidate gets a prompt —
-        # reranker.rs:228 semantics); with reranking off, only the top_k
-        # head matters (device rows arrive sorted by combined score, and
-        # the fallback fill consumes them in that order), which cuts the
-        # host-side O(Q * initial_k) object churn that capped server QPS.
+        # for the rows that can be consumed downstream. With reranking on
+        # and a blend weight > 0, that is the whole initial_k pool (every
+        # candidate gets a prompt — reranker.rs:228 semantics); with
+        # reranking off OR the shipped gate config (reranker weight 0.0,
+        # judge used as a rejection floor), only the top_k head can ever be
+        # emitted (device rows arrive sorted by combined score; with weight
+        # 0 the blend preserves that order), which cuts both the host-side
+        # O(Q * initial_k) object churn and the number of judge prompts 3x.
         reranking = self.reranker is not None and use_reranker
-        need_rows = initial_k if reranking else min(top_k, initial_k)
+        # (guard on initial > 0: with BOTH weights 0 the blend is degenerate
+        # and falls back to judge-relevance order over the full pool, so the
+        # head-only shortcut would not be order-preserving there)
+        head_only = not reranking or (
+            resolved.reranker == 0.0 and resolved.initial > 0.0
+        )
+        need_rows = min(top_k, initial_k) if head_only else initial_k
+
+        if isinstance(out, tuple) and out[0] is None:
+            vals_b, emb_b, lex_b, idx_b = unpack_topk(out[1], nq, initial_k)
+        else:
+            if collect_sims:
+                vals_b, emb_b, lex_b, idx_b, sims_b = out
+                sims_b = np.asarray(sims_b)[:nq]
+            else:
+                vals_b, emb_b, lex_b, idx_b = out
+            vals_b = np.asarray(vals_b)[:nq, :initial_k]
+            emb_b = np.asarray(emb_b)[:nq, :initial_k]
+            lex_b = np.asarray(lex_b)[:nq, :initial_k]
+            idx_b = np.asarray(idx_b)[:nq, :initial_k]
         # one bulk device->host conversion per array beats per-cell float()
         vals_l = vals_b[:, :need_rows].tolist()
         emb_l = emb_b[:, :need_rows].tolist()
         lex_l = lex_b[:, :need_rows].tolist()
         idx_l = idx_b[:, :need_rows].tolist()
         finite_l = np.isfinite(vals_b[:, :need_rows]).tolist()
+
+        thr = (
+            rejection_threshold
+            if rejection_threshold is not None
+            else self._rejection_threshold
+        )
+
+        if not reranking and not collect_sims:
+            # Direct materialization: device rows arrive sorted by combined
+            # score, which IS the fallback-fill order (rag_engine.rs:667-698
+            # sorts by initial score), so the final SearchResults are built
+            # in ONE pass with no intermediate candidate dicts. Rejection
+            # confidence without a judge is the absolute dense cosine.
+            meta_for_slot = self.store.meta_for_slot
+            outputs = []
+            for qi in range(nq):
+                row_v, row_e, row_l = vals_l[qi], emb_l[qi], lex_l[qi]
+                row_i, row_f = idx_l[qi], finite_l[qi]
+                res: List[SearchResult] = []
+                for rank in range(need_rows):
+                    slot = row_i[rank]
+                    if slot < 0 or not row_f[rank]:
+                        continue
+                    if thr > 0.0 and row_e[rank] < thr:
+                        continue
+                    m = meta_for_slot(slot)
+                    res.append(
+                        SearchResult(
+                            text=m.text,
+                            score=row_v[rank],
+                            document=m.document_name,
+                            chunk_id=m.id,
+                            chunk_index=m.chunk_index,
+                            page_number=m.page_number,
+                            section=m.section,
+                            embedding_score=row_e[rank],
+                            lexical_score=row_l[rank],
+                            initial_score=row_v[rank],
+                        )
+                    )
+                outputs.append(res)
+            return outputs
 
         per_query_candidates: List[List[dict]] = []
         for qi in range(nq):
@@ -655,11 +744,6 @@ class RagEngine:
             )
             for qi in range(nq)
         ]
-        thr = (
-            rejection_threshold
-            if rejection_threshold is not None
-            else self._rejection_threshold
-        )
         if thr > 0.0:
             # Confidence = the reranker's absolute yes-probability when the
             # result was reranked (the trained yes/no judge is calibrated
@@ -1113,9 +1197,9 @@ class RagEngine:
                     corpus_axis=self._corpus_axes,
                 )
                 self.lexical_index.clear()
-            self.store.add_chunks(st.metas, st.embeddings)
-            for m in st.metas:
-                self.lexical_index.add_chunk(m.id, m.text)
+            slots = self.store.add_chunks(st.metas, st.embeddings)
+            for m, slot in zip(st.metas, slots):
+                self.lexical_index.add_chunk(m.id, m.text, slot)
         self.document_hashes = dict(st.document_hashes)
         self._needs_reindex = st.needs_reindex or res.needs_reindex
         self.validate_index_sync()

@@ -116,6 +116,19 @@ class EmbeddingService:
             return np.zeros((0, self.dim), dtype=np.float32)
         return np.stack(out)  # type: ignore[arg-type]
 
+    def get_query_embeddings_device(self, texts: Sequence[str]):
+        """Device-resident batch query encoding for the search hot path:
+        returns a [bucket(n), dim] unit-normalized jax Array still on
+        device (padded rows dropped by the caller), or None when the
+        model cannot encode on device (hash/fake encoders). Bypasses the
+        LRU query cache — the cache contract lives on the host lanes
+        (get_query_embedding/s); this lane trades it for skipping one
+        device->host round trip per batch."""
+        fn = getattr(self._model, "encode_queries_device", None)
+        if fn is None:
+            return None
+        return fn(list(texts))
+
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Batch embed; falls back to sequential on batch failure."""
         if not texts:

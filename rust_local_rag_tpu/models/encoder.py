@@ -319,6 +319,27 @@ class TransformerEncoderModel:
     def encode_queries(self, texts: Sequence[str]) -> np.ndarray:
         return self.encode(texts, _prefix=self._query_prefix)
 
+    def encode_queries_device(self, texts: Sequence[str]):
+        """Query-side encoding that KEEPS the result on device: returns a
+        [bucket_batch(n), out_dim] f32 unit-normalized jax Array (padded
+        rows are valid unit vectors the caller must drop). Skipping the
+        host fetch saves a full device->host RPC (~40-50 ms on a
+        remote-attached TPU) when the embeddings feed straight into the
+        search program."""
+        texts = [self._query_prefix + t for t in texts] \
+            if self._query_prefix else list(texts)
+        ids, mask = self.tokenizer.encode_batch(texts)
+        n = ids.shape[0]
+        nb = bucket_batch(n)
+        if nb > n:
+            pad = np.zeros((nb - n, ids.shape[1]), dtype=ids.dtype)
+            ids = np.concatenate([ids, pad], axis=0)
+            mask = np.concatenate([mask, np.zeros_like(pad)], axis=0)
+            mask[n:, 0] = 1
+        return _jit_forward(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), self.cfg
+        )
+
 
 def load_safetensors_params(path: str) -> Dict:
     """Load a params pytree from a safetensors file with this module's

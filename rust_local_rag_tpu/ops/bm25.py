@@ -58,6 +58,17 @@ class LexicalIndex:
         self.doc_terms: Dict[str, Dict[str, int]] = {}
         self.total_docs = 0
         self.total_length = 0
+        # chunk_id -> ChunkStore slab slot, maintained when callers add
+        # chunks with an explicit slot; lets the engine skip the per-hit
+        # string-id mapping on the query hot path (score_slots_into)
+        self._id_to_slot: Dict[str, int] = {}
+        self._slots_aligned = True
+
+    @property
+    def slots_aligned(self) -> bool:
+        """True while every indexed chunk carried an explicit store slot
+        (score_slots_into is exact only then)."""
+        return self._slots_aligned
 
     def clear(self) -> None:
         self.term_postings.clear()
@@ -65,10 +76,16 @@ class LexicalIndex:
         self.doc_terms.clear()
         self.total_docs = 0
         self.total_length = 0
+        self._id_to_slot.clear()
+        self._slots_aligned = True
 
-    def add_chunk(self, chunk_id: str, text: str) -> None:
+    def add_chunk(self, chunk_id: str, text: str, slot: int = None) -> None:
         if chunk_id in self.doc_terms:
             self.remove_chunk(chunk_id)
+        if slot is None:
+            self._slots_aligned = False
+        else:
+            self._id_to_slot[chunk_id] = int(slot)
 
         tokens = tokenize(text)
         if not tokens:
@@ -91,6 +108,7 @@ class LexicalIndex:
         self.total_length += doc_length
 
     def remove_chunk(self, chunk_id: str) -> None:
+        self._id_to_slot.pop(chunk_id, None)
         term_counts = self.doc_terms.pop(chunk_id, None)
         if term_counts is not None:
             for term in term_counts:
@@ -152,6 +170,23 @@ class LexicalIndex:
         if limit > 0 and len(results) > limit:
             results = results[:limit]
         return results
+
+    def score_slots_into(self, query: str, limit: int, out_slots, out_vals) -> int:
+        """Hot-path scoring: write the top-`limit` hits as (store slot,
+        score) directly into the caller's int32/f32 row buffers, skipping
+        the per-hit (chunk_id, score) tuple list. Only valid while
+        slots_aligned. Returns the number of hits written."""
+        if not self._slots_aligned:
+            raise RuntimeError("index has chunks without registered slots")
+        n = 0
+        for cid, s in self.score(query, limit):
+            slot = self._id_to_slot.get(cid)
+            if slot is None or n >= len(out_slots):
+                continue
+            out_slots[n] = slot
+            out_vals[n] = s
+            n += 1
+        return n
 
     def contains(self, chunk_id: str) -> bool:
         return chunk_id in self.doc_terms

@@ -200,6 +200,70 @@ def hybrid_topk(
     return vals, emb_k, lex_k, idx.astype(jnp.int32), cand_sims
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def hybrid_topk_packed(
+    queries: jax.Array,
+    corpus: jax.Array,
+    valid_mask: jax.Array,
+    lex_slots: jax.Array,
+    lex_vals: jax.Array,
+    w_embedding: jax.Array,
+    w_lexical: jax.Array,
+    k: int,
+):
+    """hybrid_topk with the four outputs PACKED into one [Q, 4, k] f32
+    array (idx bitcast to f32). Through a remote-attached TPU every
+    device->host fetch pays a full RPC round trip (~40-50 ms measured on
+    the axon tunnel); fetching four arrays separately quadruples that.
+    Channels: 0=combined, 1=embedding, 2=lexical_norm, 3=bitcast(int32 idx).
+    """
+    vals, emb_k, lex_k, idx = hybrid_topk.__wrapped__(
+        queries, corpus, valid_mask, lex_slots, lex_vals,
+        w_embedding, w_lexical, k,
+    )
+    return jnp.stack(
+        [vals, emb_k, lex_k, jax.lax.bitcast_convert_type(idx, jnp.float32)],
+        axis=1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def hybrid_topk_quantized_packed(
+    queries: jax.Array,
+    values: jax.Array,
+    scales: jax.Array,
+    valid_mask: jax.Array,
+    lex_slots: jax.Array,
+    lex_vals: jax.Array,
+    w_embedding: jax.Array,
+    w_lexical: jax.Array,
+    k: int,
+):
+    """Packed single-fetch variant of hybrid_topk_quantized (see
+    hybrid_topk_packed for the channel layout and rationale)."""
+    vals, emb_k, lex_k, idx = hybrid_topk_quantized.__wrapped__(
+        queries, values, scales, valid_mask, lex_slots, lex_vals,
+        w_embedding, w_lexical, k,
+    )
+    return jnp.stack(
+        [vals, emb_k, lex_k, jax.lax.bitcast_convert_type(idx, jnp.float32)],
+        axis=1,
+    )
+
+
+def unpack_topk(arr, nq: int, k: int):
+    """Host-side unpack of a fetched [Q, 4, k'] packed result into
+    (vals, emb, lex, idx int32) numpy views trimmed to [nq, k]."""
+    import numpy as np
+
+    arr = np.asarray(arr)
+    vals = arr[:nq, 0, :k]
+    emb = arr[:nq, 1, :k]
+    lex = arr[:nq, 2, :k]
+    idx = arr[:, 3, :].view(np.int32)[:nq, :k]
+    return vals, emb, lex, idx
+
+
 def pack_sparse_lex(pairs, slot_for_id, width: int = LEX_WIDTH):
     """Host helper: [(chunk_id, score)] -> ([1, width] slots, [1, width]
     vals) int32/f32 numpy arrays, -1-padded."""

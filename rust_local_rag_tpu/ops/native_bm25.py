@@ -103,7 +103,19 @@ class NativeLexicalIndex:
         self._h = ctypes.c_void_p(lib.bm25_create())
         self._id_to_slot: Dict[str, int] = {}
         self._slot_to_id: Dict[int, str] = {}
-        self._next_slot = 0
+        # auto-allocated slots start far above any plausible store slot so
+        # mixed explicit/auto adds can never collide in _slot_to_id
+        self._next_slot = 1 << 40
+        # True while every add carried an explicit ChunkStore slot: the
+        # native index then scores directly in store-slot space and
+        # score_slots_into avoids all per-hit Python (engine hot path)
+        self._slots_aligned = True
+        self._scratch_slots = np.zeros(0, dtype=np.int64)
+        self._scratch_vals = np.zeros(0, dtype=np.float32)
+
+    @property
+    def slots_aligned(self) -> bool:
+        return self._slots_aligned
 
     def __del__(self) -> None:
         try:
@@ -117,22 +129,37 @@ class NativeLexicalIndex:
     def total_docs(self) -> int:
         return int(self._lib.bm25_num_docs(self._h))
 
-    def _slot_for(self, chunk_id: str) -> int:
-        slot = self._id_to_slot.get(chunk_id)
-        if slot is None:
-            slot = self._next_slot
-            self._next_slot += 1
+    def _slot_for(self, chunk_id: str, slot: int = None) -> int:
+        existing = self._id_to_slot.get(chunk_id)
+        if slot is not None:
+            slot = int(slot)
+            if existing is not None and existing != slot:
+                self._lib.bm25_remove_chunk(self._h, existing)
+                self._slot_to_id.pop(existing, None)
+            prior = self._slot_to_id.get(slot)
+            if prior is not None and prior != chunk_id:
+                # slot reuse after a document replacement: the stale id
+                # must not alias the new chunk's postings
+                self._id_to_slot.pop(prior, None)
+                self._lib.bm25_remove_chunk(self._h, slot)
             self._id_to_slot[chunk_id] = slot
             self._slot_to_id[slot] = chunk_id
-        return slot
+            return slot
+        self._slots_aligned = False
+        if existing is None:
+            existing = self._next_slot
+            self._next_slot += 1
+            self._id_to_slot[chunk_id] = existing
+            self._slot_to_id[existing] = chunk_id
+        return existing
 
-    def add_chunk(self, chunk_id: str, text: str) -> None:
+    def add_chunk(self, chunk_id: str, text: str, slot: int = None) -> None:
         # Tokenize host-side with the Unicode-aware rules (ops/bm25.tokenize,
         # bit-identical to the Python index and the Rust reference); the C++
         # core only counts/stores the pre-split tokens.
         data = "\x01".join(_tokenize(text)).encode("utf-8")
         self._lib.bm25_add_tokens(
-            self._h, self._slot_for(chunk_id), data, len(data)
+            self._h, self._slot_for(chunk_id, slot), data, len(data)
         )
         # chunks whose text tokenizes to nothing are not indexed natively;
         # mirror the Python behavior by dropping the id mapping again
@@ -172,6 +199,38 @@ class NativeLexicalIndex:
             if int(out_slots[i]) in self._slot_to_id
         ]
 
+    def score_slots_into(self, query: str, limit: int, out_slots, out_vals) -> int:
+        """Hot-path scoring: top-`limit` hits written straight into the
+        caller's int32/f32 row buffers as ChunkStore slots — one ctypes
+        call, zero per-hit Python objects. Valid only while slots_aligned
+        (the native index then scores in store-slot space natively)."""
+        if not self._slots_aligned:
+            raise RuntimeError("index has chunks without registered slots")
+        if limit <= 0 or self.total_docs == 0:
+            return 0
+        data = "\x01".join(_tokenize(query)).encode("utf-8")
+        if len(self._scratch_slots) < limit:
+            self._scratch_slots = np.zeros(limit, dtype=np.int64)
+            self._scratch_vals = np.zeros(limit, dtype=np.float32)
+        n = int(
+            self._lib.bm25_score_tokens(
+                self._h,
+                data,
+                len(data),
+                limit,
+                self._scratch_slots.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int64)
+                ),
+                self._scratch_vals.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)
+                ),
+            )
+        )
+        n = min(n, len(out_slots))
+        out_slots[:n] = self._scratch_slots[:n]
+        out_vals[:n] = self._scratch_vals[:n]
+        return n
+
     def drop_stale(self, valid_ids: Set[str] | Iterable[str]) -> None:
         valid = set(valid_ids)
         slots = np.array(
@@ -194,6 +253,7 @@ class NativeLexicalIndex:
         self._h = ctypes.c_void_p(self._lib.bm25_create())
         self._id_to_slot.clear()
         self._slot_to_id.clear()
+        self._slots_aligned = True
 
 
 def make_lexical_index(prefer_native: Optional[bool] = None):
