@@ -103,6 +103,17 @@ class ChunkStore:
             if quantized
             else None
         )
+        # per-row dequantized L1 norm scale_i * sum_j |v_i8[j]| — the
+        # sound bound on how far a query's int8-quantization error can move
+        # row i's score; powers the exactness certificate in
+        # ops/hybrid.hybrid_topk_quantized
+        self._l1 = (
+            self._place_mask(
+                jnp.zeros((self._capacity,), dtype=jnp.float32)
+            )
+            if quantized
+            else None
+        )
         self._mask = self._place_mask(
             jnp.zeros((self._capacity,), dtype=bool)
         )
@@ -110,6 +121,10 @@ class ChunkStore:
         self._id_to_slot: Dict[str, int] = {}
         self._free: List[int] = []
         self._high_water = 0  # slots [0, high_water) may be valid
+        # bumped on every add/remove/compact: consumers caching per-slot
+        # derived state (e.g. the native response-fragment registry) use
+        # it to skip revalidation while the store is unchanged
+        self.mutations = 0
 
     def _place_rows(self, arr: jax.Array) -> jax.Array:
         if self._row_sharding is not None:
@@ -143,6 +158,13 @@ class ChunkStore:
         if self._scales is None:
             raise RuntimeError("store is not quantized")
         return self._scales
+
+    def l1(self) -> jax.Array:
+        """[capacity] per-row dequantized L1 norms (quantized mode):
+        scale_i * ||v_i8||_1, the exactness-certificate error bound."""
+        if self._l1 is None:
+            raise RuntimeError("store is not quantized")
+        return self._l1
 
     def quantized_corpus(self):
         """QuantizedCorpus view for ops/quantized.py."""
@@ -196,6 +218,10 @@ class ChunkStore:
             self._scales = jnp.concatenate(
                 [self._scales, jnp.zeros((pad, 1), dtype=jnp.float32)], axis=0
             )
+        if self._l1 is not None:
+            self._l1 = jnp.concatenate(
+                [self._l1, jnp.zeros((pad,), dtype=jnp.float32)], axis=0
+            )
         self._mask = jnp.concatenate(
             [self._mask, jnp.zeros((pad,), dtype=bool)], axis=0
         )
@@ -243,11 +269,17 @@ class ChunkStore:
             q = np.clip(np.round(emb32 / scale), -127, 127).astype(np.int8)
             self._emb = self._emb.at[slot_idx].set(jnp.asarray(q))
             self._scales = self._scales.at[slot_idx].set(jnp.asarray(scale))
+            l1 = (
+                scale[:, 0]
+                * np.abs(q).astype(np.float32).sum(axis=1)
+            ).astype(np.float32)
+            self._l1 = self._l1.at[slot_idx].set(jnp.asarray(l1))
         else:
             self._emb = self._emb.at[slot_idx].set(
                 jnp.asarray(emb32, dtype=self.dtype)
             )
         self._mask = self._mask.at[slot_idx].set(True)
+        self.mutations += 1
         return slots
 
     def remove_document(self, document_name: str) -> int:
@@ -275,6 +307,7 @@ class ChunkStore:
             self._free.append(slot)
         slot_idx = jnp.asarray(np.asarray(slots, dtype=np.int32))
         self._mask = self._mask.at[slot_idx].set(False)
+        self.mutations += 1
         return len(slots)
 
     def compact(self) -> None:
@@ -304,9 +337,14 @@ class ChunkStore:
                 .at[n:]
                 .set(0)
             )
+        if self._l1 is not None:
+            self._l1 = self._place_mask(
+                jnp.take(self._l1, jnp.asarray(perm), axis=0).at[n:].set(0)
+            )
         mask = np.zeros((self._capacity,), dtype=bool)
         mask[:n] = True
         self._mask = self._place_mask(jnp.asarray(mask))
+        self.mutations += 1
 
     # ----- persistence helpers -------------------------------------------
 

@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rust_local_rag_tpu.config import QueryWeights, ResolvedWeights
@@ -126,6 +127,35 @@ class SearchResult:
             if v is not None:
                 d[k] = v
         return d
+
+
+@dataclass
+class PendingSearch:
+    """In-flight hot-lane search: dispatched device work, not yet fetched."""
+
+    out: object  # packed [nq_pad, 4|5, kb] device array
+    nq: int
+    k: int
+    floor: float
+    # escalation inputs (int8 certificate failures re-run on these)
+    q_emb: object = None
+    lex_slots: Optional[np.ndarray] = None
+    lex_vals: Optional[np.ndarray] = None
+    resolved: Optional[ResolvedWeights] = None
+    kb: int = 0
+
+
+@dataclass
+class ColumnarResults:
+    """Fetched hot-lane results as parallel [nq, k] arrays — consumed by
+    the native response serializer without building per-result objects."""
+
+    vals: np.ndarray   # combined scores (sorted desc per row)
+    emb: np.ndarray    # embedding scores (rejection-gate confidence)
+    lex: np.ndarray    # normalized lexical scores
+    slots: np.ndarray  # int32 store slots (-1 = invalid)
+    floor: float       # rejection floor (0 = off)
+    store: object      # ChunkStore (meta access for object materialization)
 
 
 def _normalize_vec(v: np.ndarray) -> np.ndarray:
@@ -442,6 +472,58 @@ class RagEngine:
             use_reranker=use_reranker,
         )[0]
 
+    def _prep_queries(self, queries: List[str], nq_pad: int):
+        """Query embeddings for a padded batch: stay ON DEVICE when the
+        encoder can produce them there (saves a device->host RPC per
+        batch — the fetched vectors were only re-uploaded into the search
+        dispatch). Host fallback for hash/fake encoders and for
+        mesh-sharded serving (device_put with the mesh sharding is
+        handled by the host lane)."""
+        if self._mesh is None:
+            dev = self.embedding_service.get_query_embeddings_device(queries)
+            if dev is not None and dev.shape[0] == nq_pad:
+                return dev  # unit-normalized on device
+        host = self.embedding_service.get_query_embeddings(queries)
+        q_emb_p = np.zeros((nq_pad, host.shape[1]), dtype=np.float32)
+        for i in range(len(queries)):
+            q_emb_p[i] = _normalize_vec(host[i])
+        return jnp.asarray(q_emb_p)
+
+    def _prep_lexical(self, queries: List[str], top_k: int, nq_pad: int):
+        """Lexical candidates per query: top (top_k * 5) like the reference
+        (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the
+        device blends them scatter-free (ops/hybrid.py) so chunks outside
+        the lexical top list contribute 0 to the blend. The width is
+        bucketed so the diversity path's pool*5 request (up to 1500) is
+        carried in full instead of silently truncated at LEX_WIDTH."""
+        lex_request = top_k * 5
+        lex_width = lex_width_for(lex_request)
+        lex_slots = np.full((nq_pad, lex_width), -1, dtype=np.int32)
+        lex_vals = np.zeros((nq_pad, lex_width), dtype=np.float32)
+        limit = min(lex_request, lex_width)
+        if getattr(self.lexical_index, "slots_aligned", False):
+            # hot path: hits land as store slots straight in the row
+            # buffers (no per-hit Python tuples / id->slot dict walks)
+            for qi, query in enumerate(queries):
+                self.lexical_index.score_slots_into(
+                    query, limit, lex_slots[qi], lex_vals[qi]
+                )
+        else:
+            for qi, query in enumerate(queries):
+                pairs = self.lexical_index.score(query, limit)
+                s, v = pack_sparse_lex(
+                    pairs,
+                    lambda cid: (
+                        self.store.slot_for_id(cid)
+                        if self.store.contains(cid)
+                        else None
+                    ),
+                    width=lex_width,
+                )
+                lex_slots[qi] = s[0]
+                lex_vals[qi] = v[0]
+        return lex_slots, lex_vals
+
     def search_batch(
         self,
         queries: List[str],
@@ -474,55 +556,8 @@ class RagEngine:
         nq_pad = max(_bucket_batch(nq), dp)
         nq_pad = ((nq_pad + dp - 1) // dp) * dp
 
-        # Query embeddings: stay ON DEVICE when the encoder can produce them
-        # there (saves a device->host RPC per batch — the fetched vectors
-        # were only re-uploaded into the search dispatch). Host fallback for
-        # hash/fake encoders and for mesh-sharded serving (device_put with
-        # the mesh sharding is handled by the host lane).
-        q_emb = None
-        if self._mesh is None:
-            dev = self.embedding_service.get_query_embeddings_device(queries)
-            if dev is not None and dev.shape[0] == nq_pad:
-                q_emb = dev  # unit-normalized on device
-        if q_emb is None:
-            host = self.embedding_service.get_query_embeddings(queries)
-            q_emb_p = np.zeros((nq_pad, host.shape[1]), dtype=np.float32)
-            for i in range(nq):
-                q_emb_p[i] = _normalize_vec(host[i])
-            q_emb = jnp.asarray(q_emb_p)
-
-        # Lexical candidates per query: top (top_k * 5) like the reference
-        # (rag_engine.rs:505), shipped SPARSE as (slot, score) pairs; the
-        # device blends them scatter-free (ops/hybrid.py) so chunks outside
-        # the lexical top list contribute 0 to the blend. The width is
-        # bucketed so the diversity path's pool*5 request (up to 1500) is
-        # carried in full instead of silently truncated at LEX_WIDTH.
-        lex_request = top_k * 5
-        lex_width = lex_width_for(lex_request)
-        lex_slots = np.full((nq_pad, lex_width), -1, dtype=np.int32)
-        lex_vals = np.zeros((nq_pad, lex_width), dtype=np.float32)
-        limit = min(lex_request, lex_width)
-        if getattr(self.lexical_index, "slots_aligned", False):
-            # hot path: hits land as store slots straight in the row
-            # buffers (no per-hit Python tuples / id->slot dict walks)
-            for qi, query in enumerate(queries):
-                self.lexical_index.score_slots_into(
-                    query, limit, lex_slots[qi], lex_vals[qi]
-                )
-        else:
-            for qi, query in enumerate(queries):
-                pairs = self.lexical_index.score(query, limit)
-                s, v = pack_sparse_lex(
-                    pairs,
-                    lambda cid: (
-                        self.store.slot_for_id(cid)
-                        if self.store.contains(cid)
-                        else None
-                    ),
-                    width=lex_width,
-                )
-                lex_slots[qi] = s[0]
-                lex_vals[qi] = v[0]
+        q_emb = self._prep_queries(queries, nq_pad)
+        lex_slots, lex_vals = self._prep_lexical(queries, top_k, nq_pad)
 
         initial_k = min(len(self.store), max(top_k * 3, top_k))
 
@@ -536,6 +571,7 @@ class RagEngine:
                 q_emb,
                 self.store.corpus(),
                 self.store.scales(),
+                self.store.l1(),
                 self.store.valid_mask(),
                 jnp.asarray(lex_slots),
                 jnp.asarray(lex_vals),
@@ -568,7 +604,11 @@ class RagEngine:
             )
         elif collect_sims:
             fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
-            extra = (self.store.scales(),) if self.store.quantized else ()
+            extra = (
+                (self.store.scales(), self.store.l1())
+                if self.store.quantized
+                else ()
+            )
             out = fn(
                 q_emb,
                 self.store.corpus(),
@@ -590,7 +630,11 @@ class RagEngine:
                 if self.store.quantized
                 else hybrid_topk_packed
             )
-            extra = (self.store.scales(),) if self.store.quantized else ()
+            extra = (
+                (self.store.scales(), self.store.l1())
+                if self.store.quantized
+                else ()
+            )
             out = fn(
                 q_emb,
                 self.store.corpus(),
@@ -623,17 +667,42 @@ class RagEngine:
         need_rows = min(top_k, initial_k) if head_only else initial_k
 
         if isinstance(out, tuple) and out[0] is None:
-            vals_b, emb_b, lex_b, idx_b = unpack_topk(out[1], nq, initial_k)
+            arr = np.asarray(out[1])
+            vals_b, emb_b, lex_b, idx_b = unpack_topk(arr, nq, initial_k)
+            if self.store.quantized:
+                flags = arr[:nq, 4, 0] > 0.5
+                if not flags.all():
+                    vals_b, emb_b, lex_b, idx_b, _ = self._int8_escalate(
+                        q_emb, lex_slots, lex_vals, resolved,
+                        _bucket_k(initial_k), np.flatnonzero(~flags),
+                        (vals_b, emb_b, lex_b, idx_b), initial_k,
+                    )
         else:
+            # every quantized lane returns the exactness certificate at
+            # position 4; with_sims appends the MMR similarity block last
+            seq = list(out)
             if collect_sims:
-                vals_b, emb_b, lex_b, idx_b, sims_b = out
-                sims_b = np.asarray(sims_b)[:nq]
-            else:
-                vals_b, emb_b, lex_b, idx_b = out
+                sims_b = np.asarray(seq.pop())[:nq]
+            exact_f = seq[4] if len(seq) > 4 else None
+            vals_b, emb_b, lex_b, idx_b = seq[:4]
             vals_b = np.asarray(vals_b)[:nq, :initial_k]
             emb_b = np.asarray(emb_b)[:nq, :initial_k]
             lex_b = np.asarray(lex_b)[:nq, :initial_k]
             idx_b = np.asarray(idx_b)[:nq, :initial_k]
+            if exact_f is not None:
+                flags = np.asarray(exact_f)[:nq]
+                if not flags.all():
+                    fail = np.flatnonzero(~flags)
+                    vals_b, emb_b, lex_b, idx_b, sims_b2 = (
+                        self._int8_escalate(
+                            q_emb, lex_slots, lex_vals, resolved,
+                            _bucket_k(initial_k), fail,
+                            (vals_b, emb_b, lex_b, idx_b), initial_k,
+                            sims_b=sims_b if collect_sims else None,
+                        )
+                    )
+                    if collect_sims:
+                        sims_b = sims_b2
         # one bulk device->host conversion per array beats per-cell float()
         vals_l = vals_b[:, :need_rows].tolist()
         emb_l = emb_b[:, :need_rows].tolist()
@@ -767,6 +836,215 @@ class RagEngine:
             for qi in range(nq)
         ]
         return outputs, (sims_b, rank_maps)
+
+    def _int8_escalate(
+        self,
+        q_emb,
+        lex_slots: np.ndarray,
+        lex_vals: np.ndarray,
+        resolved: ResolvedWeights,
+        k: int,
+        fail_rows: np.ndarray,
+        arrays,
+        trim_k: int,
+        sims_b: Optional[np.ndarray] = None,
+    ):
+        """Re-run the queries whose int8 exactness certificate failed
+        (adversarial near-ties at the quantization boundary) through the
+        unconditionally exact full-f32 dequantized lane
+        (ops/hybrid.hybrid_topk_dequant_full), and patch their rows into
+        the batch results. Rare by construction — the certificate bound is
+        ~1e-2 wide while top-k boundary gaps on real corpora are larger —
+        so the extra [Q_fail, N] f32 pass is off the steady-state path."""
+        nf = len(fail_rows)
+        logger.info(
+            "int8 exactness certificate failed for %d/%d queries; "
+            "escalating to the full-f32 dequantized lane", nf, arrays[0].shape[0],
+        )
+        nb = _bucket_batch(nf)
+        rows_idx = np.zeros(nb, dtype=np.int32)
+        rows_idx[:nf] = fail_rows
+        q_sub = jnp.take(
+            jnp.asarray(q_emb), jnp.asarray(rows_idx), axis=0
+        )
+        ls = lex_slots[rows_idx]
+        lv = lex_vals[rows_idx]
+        common = (
+            q_sub,
+            self.store.corpus(),
+            self.store.scales(),
+            self.store.valid_mask(),
+            jnp.asarray(ls),
+            jnp.asarray(lv),
+            jnp.float32(resolved.embedding),
+            jnp.float32(resolved.lexical),
+            k,
+        )
+        if self._mesh is not None:
+            from rust_local_rag_tpu.parallel.sharded_search import (
+                sharded_hybrid_topk_dequant_full,
+            )
+
+            # escalation batch is replicated over the mesh (no data axis:
+            # the failure bucket is tiny and exactness is the point here)
+            out = sharded_hybrid_topk_dequant_full(
+                *common, mesh=self._mesh, corpus_axis=self._corpus_axes,
+            )
+        else:
+            from rust_local_rag_tpu.ops.hybrid import (
+                hybrid_topk_dequant_full,
+            )
+
+            out = hybrid_topk_dequant_full(*common)
+        fixed = [np.asarray(x) for x in out[:4]]
+        sims_fix = None
+        if sims_b is not None:
+            from rust_local_rag_tpu.ops.quantized import gather_dequantized
+
+            safe = jnp.asarray(np.maximum(fixed[3], 0))
+            rows_d = gather_dequantized(
+                self.store.corpus(), self.store.scales(), safe
+            )
+            sims_fix = np.asarray(
+                jnp.einsum(
+                    "qkd,qjd->qkj", rows_d, rows_d,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+        vals_b, emb_b, lex_b, idx_b = (np.array(a) for a in arrays)
+        for j, qi in enumerate(fail_rows):
+            vals_b[qi] = fixed[0][j][:trim_k]
+            emb_b[qi] = fixed[1][j][:trim_k]
+            lex_b[qi] = fixed[2][j][:trim_k]
+            idx_b[qi] = fixed[3][j][:trim_k]
+        if sims_b is not None:
+            sims_b = np.array(sims_b)
+            for j, qi in enumerate(fail_rows):
+                sims_b[qi] = sims_fix[j]
+        return vals_b, emb_b, lex_b, idx_b, sims_b
+
+    # ----- hot-lane dispatch/fetch split (pipelined serving) ---------------
+
+    def supports_columnar(self) -> bool:
+        """The columnar hot lane covers single-program serving (unsharded
+        mesh); sharded serving keeps the object lane."""
+        return self._mesh is None
+
+    def dispatch_search(
+        self,
+        queries: List[str],
+        top_k: int,
+        weights: Optional[QueryWeights] = None,
+        rejection_threshold: Optional[float] = None,
+    ) -> Optional["PendingSearch"]:
+        """First half of the rerank-off hot lane: host prep + ONE async
+        device dispatch, NO blocking fetch. The batcher overlaps the next
+        batch's dispatch with this batch's in-flight device work + fetch
+        (fetch_columnar), hiding the tunnel round trip. Returns None when
+        the lane does not apply (mesh-sharded store, empty store).
+
+        The device program selects k = top_k directly (the object lane
+        selects initial_k = 3*top_k and trims): both are exact selections,
+        so the result SETS and scores are identical; only the order among
+        exactly-tied scores may differ. The fetch is 4x smaller.
+        """
+        if self._mesh is not None or len(self.store) == 0 or not queries:
+            return None
+        resolved = ResolvedWeights.from_query_weights(weights)
+        top_k = max(top_k, 1)
+        nq = len(queries)
+        nq_pad = _bucket_batch(nq)
+        q_emb = self._prep_queries(queries, nq_pad)
+        lex_slots, lex_vals = self._prep_lexical(queries, top_k, nq_pad)
+        k = min(len(self.store), top_k)
+        fn = (
+            hybrid_topk_quantized_packed
+            if self.store.quantized
+            else hybrid_topk_packed
+        )
+        extra = (
+            (self.store.scales(), self.store.l1())
+            if self.store.quantized
+            else ()
+        )
+        out = fn(
+            q_emb,
+            self.store.corpus(),
+            *extra,
+            self.store.valid_mask(),
+            jnp.asarray(lex_slots),
+            jnp.asarray(lex_vals),
+            jnp.float32(resolved.embedding),
+            jnp.float32(resolved.lexical),
+            _bucket_k(k),
+        )
+        thr = (
+            rejection_threshold
+            if rejection_threshold is not None
+            else self._rejection_threshold
+        )
+        return PendingSearch(
+            out=out, nq=nq, k=k, floor=max(thr, 0.0),
+            q_emb=q_emb, lex_slots=lex_slots, lex_vals=lex_vals,
+            resolved=resolved, kb=_bucket_k(k),
+        )
+
+    def fetch_columnar(self, pending: "PendingSearch") -> "ColumnarResults":
+        """Second half: ONE blocking device->host fetch, zero per-result
+        host objects. The arrays go straight to the native serializer.
+        Quantized stores verify the exactness certificate here and
+        escalate failing queries to the full-f32 lane."""
+        arr = np.asarray(pending.out)
+        vals, emb, lex, idx = unpack_topk(arr, pending.nq, pending.k)
+        if self.store.quantized:
+            flags = arr[: pending.nq, 4, 0] > 0.5
+            if not flags.all():
+                vals, emb, lex, idx, _ = self._int8_escalate(
+                    pending.q_emb, pending.lex_slots, pending.lex_vals,
+                    pending.resolved, pending.kb,
+                    np.flatnonzero(~flags), (vals, emb, lex, idx),
+                    pending.k,
+                )
+        return ColumnarResults(
+            vals=vals, emb=emb, lex=lex, slots=idx,
+            floor=pending.floor, store=self.store,
+        )
+
+    def results_from_columnar(
+        self, col: "ColumnarResults", qi: int
+    ) -> List[SearchResult]:
+        """Materialize one query's SearchResult list from columnar arrays
+        (for consumers that need objects — MCP markdown, TUI — while the
+        HTTP hot path serializes the arrays natively)."""
+        row_v = col.vals[qi].tolist()
+        row_e = col.emb[qi].tolist()
+        row_l = col.lex[qi].tolist()
+        row_i = col.slots[qi].tolist()
+        out: List[SearchResult] = []
+        for rank in range(len(row_i)):
+            slot = row_i[rank]
+            v = row_v[rank]
+            if slot < 0 or v != v or v in (float("inf"), float("-inf")):
+                continue
+            if col.floor > 0.0 and row_e[rank] < col.floor:
+                continue
+            m = self.store.meta_for_slot(slot)
+            out.append(
+                SearchResult(
+                    text=m.text,
+                    score=v,
+                    document=m.document_name,
+                    chunk_id=m.id,
+                    chunk_index=m.chunk_index,
+                    page_number=m.page_number,
+                    section=m.section,
+                    embedding_score=row_e[rank],
+                    lexical_score=row_l[rank],
+                    initial_score=v,
+                )
+            )
+        return out
 
     def _rerank_flat(self, queries, flat_inputs, nq):
         """Score every (query, candidate) pair in one device pass; regroup
@@ -1071,8 +1349,12 @@ class RagEngine:
         else:
             fn = hybrid_topk_quantized if self.store.quantized else hybrid_topk
             kwargs = {}
-        extra = (self.store.scales(),) if self.store.quantized else ()
-        vals, emb_k, _, idx = fn(
+        extra = (
+            (self.store.scales(), self.store.l1())
+            if self.store.quantized
+            else ()
+        )
+        res = fn(
             jnp.asarray(q_emb[None, :]),
             self.store.corpus(),
             *extra,
@@ -1084,6 +1366,22 @@ class RagEngine:
             _bucket_k(k),
             **kwargs,
         )
+        vals, emb_k, _, idx = res[:4]
+        if self.store.quantized and not np.asarray(res[4]).all():
+            vals, emb_k, _, idx, _ = self._int8_escalate(
+                q_emb[None, :],
+                np.full((1, LEX_WIDTH), -1, dtype=np.int32),
+                np.zeros((1, LEX_WIDTH), dtype=np.float32),
+                ResolvedWeights(
+                    embedding=1.0, lexical=0.0, reranker=0.0, initial=1.0
+                ),
+                _bucket_k(k),
+                np.array([0]),
+                tuple(
+                    np.asarray(a)[:, : _bucket_k(k)] for a in res[:4]
+                ),
+                _bucket_k(k),
+            )
         out = []
         for v, slot in zip(np.asarray(vals)[0][:k], np.asarray(idx)[0][:k]):
             if slot < 0 or not np.isfinite(v):
@@ -1110,6 +1408,12 @@ class RagEngine:
             return
         t0 = time.monotonic()
         try:
+            compiled = self.lexical_index.compile_all()
+            if compiled:
+                logger.info(
+                    "Precompiled %d BM25 posting snapshots in %.1f s",
+                    compiled, time.monotonic() - t0,
+                )
             self.search_with_diversity("warmup query", 5, 0.3)
             self.search("warmup query", 5)
             # batched path: one >= 8-query burst compiles the bucketed
@@ -1133,10 +1437,11 @@ class RagEngine:
         return self.store.document_names()
 
     def get_stats(self) -> dict:
-        """rag_engine.rs:862-881 (+ search_mode: surfaces that the int8
-        capacity mode's phase-1 candidate selection is approximate at the
-        int8 precision boundary — ops/hybrid.hybrid_topk_quantized — unlike
-        the default exact search)."""
+        """rag_engine.rs:862-881 (+ search_mode). Int8 capacity mode is
+        EXACT w.r.t. the dequantized corpus: phase-1 selection carries a
+        per-query soundness certificate (ops/hybrid.hybrid_topk_quantized
+        docstring has the bound) and certificate failures escalate to the
+        unconditionally exact full-f32 dequantized lane."""
         return {
             "documents": len(self.list_documents()),
             "chunks": len(self.store),
@@ -1145,11 +1450,7 @@ class RagEngine:
             "reranker_model": (
                 self.reranker.model_name if self.reranker else None
             ),
-            "search_mode": (
-                "approximate-int8-selection"
-                if self.store.quantized
-                else "exact"
-            ),
+            "search_mode": "exact",
         }
 
     # ----- persistence --------------------------------------------------------

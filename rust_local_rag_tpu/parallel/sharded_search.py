@@ -326,6 +326,7 @@ def sharded_hybrid_topk_quantized(
     queries: jax.Array,      # [Q, D] f32 unit-normalized, replicated
     values: jax.Array,       # [N, D] int8 slab, row-sharded
     scales: jax.Array,       # [N, 1] f32 row scales, sharded like the slab
+    l1: jax.Array,           # [N] f32 scale_i * ||v_i8||_1, sharded
     valid_mask: jax.Array,   # [N] bool, sharded
     lex_slots: jax.Array,    # [Q, L] int32 global slots, replicated
     lex_vals: jax.Array,     # [Q, L] f32, replicated
@@ -339,12 +340,14 @@ def sharded_hybrid_topk_quantized(
 ):
     """Sharded int8 capacity mode: the 10M-chunks-per-chip slab scales to
     N chips (80M chunks on a v5e-8). Per shard this mirrors
-    ops/hybrid.hybrid_topk_quantized — int8 MXU phase-1 selection, f32
-    rescore of the local candidate union — then one all_gather merges the
-    per-shard rescored candidates. The merged union is a SUPERSET of the
-    single-device union (each shard contributes a full local top-k), so
-    the final f32 ordering is at least as faithful to the dequantized
-    corpus as the single-device path."""
+    ops/hybrid.hybrid_topk_quantized — int8 MXU phase-1 selection by the
+    certified UPPER bound (p1 + query-quantization error, see the ops
+    docstring for the proof), f32 rescore of the local candidate union —
+    then one all_gather merges the per-shard rescored candidates. The
+    merged top-k is exact iff every shard's local dense top-k is exact;
+    the returned [Q] flag ANDs the per-shard certificates (min over the
+    corpus axes), and the engine escalates failures to
+    sharded_hybrid_topk_dequant_full."""
     qn = queries.shape[0]
     n = values.shape[0]
     d = values.shape[1]
@@ -357,7 +360,7 @@ def sharded_hybrid_topk_quantized(
     rows = n // n_shards
     k_local = min(k, rows)
 
-    def local(q, v_shard, s_shard, m_shard, slots, lvals):
+    def local(q, v_shard, s_shard, l1_shard, m_shard, slots, lvals):
         shard_id = jax.lax.axis_index(axes[-1])
         stride = mesh.shape[axes[-1]]
         for a in reversed(axes[:-1]):
@@ -365,7 +368,8 @@ def sharded_hybrid_topk_quantized(
             stride = stride * mesh.shape[a]
         base = shard_id * rows
 
-        # phase 1: int8 x int8 selection (ops/hybrid.py:220-231 semantics)
+        # phase 1: int8 x int8 selection (ops/hybrid.py semantics) by the
+        # certified upper bound
         q32 = q.astype(jnp.float32)
         q_absmax = jnp.max(jnp.abs(q32), axis=1, keepdims=True)
         q_scale = jnp.maximum(q_absmax, 1e-10) / 127.0
@@ -378,18 +382,22 @@ def sharded_hybrid_topk_quantized(
             preferred_element_type=jnp.int32,
         )
         emb = scores_i32.astype(jnp.float32) * q_scale * s_shard[:, 0][None, :]
-        masked_emb = jnp.where(m_shard[None, :], emb, NEG_INF)
+        eps = (q_scale * 0.5) * l1_shard[None, :] * 1.001 + 1e-6
+        upper = jnp.where(m_shard[None, :], emb + eps, NEG_INF)
         if rows >= 65536:
             from rust_local_rag_tpu.ops.fast_topk import (
                 segmented_exact_topk_scores,
             )
 
-            e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
-                masked_emb, k_local
+            u_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
+                upper, k_local
             )
         else:
-            e_vals, e_idx = jax.lax.top_k(masked_emb, k_local)
-        e_idx = jnp.where(e_vals == NEG_INF, -1, e_idx.astype(jnp.int32))
+            u_vals, e_idx = jax.lax.top_k(upper, k_local)
+        e_vals = u_vals  # width/carrier only; rescored in f32 below
+        e_idx = jnp.where(u_vals == NEG_INF, -1, e_idx.astype(jnp.int32))
+        n_valid_local = jnp.sum(m_shard.astype(jnp.int32))
+        tau = jnp.where(k_local >= n_valid_local, NEG_INF, u_vals[:, -1])
 
         # union with this shard's lexical hits (global normalization)
         lex_pad = slots < 0
@@ -420,8 +428,17 @@ def sharded_hybrid_topk_quantized(
         # the one fixed in the non-quantized merge reshape)
         rows_f = (rows_f * row_scales).reshape(q.shape[0], -1, d)
         emb_f32 = jnp.einsum(
-            "qd,qcd->qc", q32, rows_f, preferred_element_type=jnp.float32
+            "qd,qcd->qc", q32, rows_f,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
+
+        # local exactness certificate (same argument as the unsharded op)
+        pool_scores = jnp.where(
+            e_idx >= 0, emb_f32[:, :k_local], NEG_INF
+        )
+        kth = jax.lax.top_k(pool_scores, k_local)[0][:, -1]
+        local_exact = kth >= tau  # [Q_block] bool
 
         lexn = jnp.concatenate(
             [jnp.zeros_like(e_vals), jnp.where(on_shard, lexn_sparse, 0.0)],
@@ -471,9 +488,171 @@ def sharded_hybrid_topk_quantized(
             lex_k = jnp.pad(lex_k, ((0, 0), (0, pad)))
             idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
         idx = jnp.where(vals == NEG_INF, -1, idx)
-        return vals, emb_k, lex_k, idx.astype(jnp.int32)
+        # the merged top-k is exact iff EVERY shard certified its local
+        # dense top-k: AND across the corpus axes
+        failures = jax.lax.psum(
+            1 - local_exact.astype(jnp.int32), tuple(axes)
+        )
+        exact = failures == 0
+        return vals, emb_k, lex_k, idx.astype(jnp.int32), exact
 
     # composed ("data" x corpus) mesh: query-batch axis shards along data
+    qspec = P(data_axis, None) if data_axis else P()
+    qspec1 = P(data_axis) if data_axis else P()
+    cspec = axes if len(axes) > 1 else axes[0]
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            qspec, P(cspec, None), P(cspec, None), P(cspec),
+            P(cspec), qspec, qspec,
+        ),
+        out_specs=(qspec, qspec, qspec, qspec, qspec1),
+        check_vma=False,
+    )
+    vals, emb_k, lex_k, idx, exact = fn(
+        queries, values, scales, l1, valid_mask, lex_slots, lex_vals
+    )
+    if not with_sims:
+        return vals, emb_k, lex_k, idx, exact
+    safe = jnp.maximum(idx, 0)
+    cand = jnp.take(values, safe.reshape(-1), axis=0).astype(jnp.float32)
+    cand_scales = jnp.take(scales, safe.reshape(-1), axis=0)
+    cand = (cand * cand_scales).reshape(qn, k, d)
+    sims = jnp.einsum(
+        "qkd,qjd->qkj", cand, cand, preferred_element_type=jnp.float32
+    )
+    return vals, emb_k, lex_k, idx, exact, sims
+
+
+def sharded_hybrid_topk_dequant_full(
+    queries: jax.Array,      # [Q, D] f32, replicated
+    values: jax.Array,       # [N, D] int8 slab, row-sharded
+    scales: jax.Array,       # [N, 1] f32, sharded
+    valid_mask: jax.Array,   # [N] bool, sharded
+    lex_slots: jax.Array,
+    lex_vals: jax.Array,
+    w_embedding: jax.Array,
+    w_lexical: jax.Array,
+    k: int,
+    mesh: Mesh,
+    corpus_axis: str = "corpus",
+    data_axis: str | None = None,
+):
+    """UNCONDITIONALLY exact sharded int8 lane (the escalation target when
+    sharded_hybrid_topk_quantized's certificate fails): each shard scores
+    its slab in f32 against the dequantized rows (<q, v_i8>_f32(HIGHEST)
+    * scale — no query quantization, no pool), takes its exact local
+    top-k, and the standard hierarchical merge combines shards."""
+    n = values.shape[0]
+    d = values.shape[1]
+    axes = corpus_axis if isinstance(corpus_axis, tuple) else (corpus_axis,)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    if n % n_shards != 0:
+        raise ValueError(f"slab rows {n} must divide across {n_shards}")
+    rows = n // n_shards
+    k_local = min(k, rows)
+
+    def local(q, v_shard, s_shard, m_shard, slots, lvals):
+        shard_id = jax.lax.axis_index(axes[-1])
+        stride = mesh.shape[axes[-1]]
+        for a in reversed(axes[:-1]):
+            shard_id = shard_id + jax.lax.axis_index(a) * stride
+            stride = stride * mesh.shape[a]
+        base = shard_id * rows
+
+        q32 = q.astype(jnp.float32)
+        emb = jax.lax.dot_general(
+            q32, v_shard.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * s_shard[:, 0][None, :]
+        masked_emb = jnp.where(m_shard[None, :], emb, NEG_INF)
+        if rows >= 65536:
+            from rust_local_rag_tpu.ops.fast_topk import (
+                segmented_exact_topk_scores,
+            )
+
+            e_vals, e_idx = segmented_exact_topk_scores.__wrapped__(
+                masked_emb, k_local
+            )
+        else:
+            e_vals, e_idx = jax.lax.top_k(masked_emb, k_local)
+        e_idx = jnp.where(e_vals == NEG_INF, -1, e_idx.astype(jnp.int32))
+
+        # lexical union on this shard (global normalization)
+        lex_pad = slots < 0
+        lv = jnp.where(lex_pad, 0.0, lvals.astype(jnp.float32))
+        max_lex = jnp.maximum(
+            jnp.max(lv, axis=1, keepdims=True), jnp.float32(1.1920929e-07)
+        )
+        lexn_sparse = lv / max_lex
+        local_slot = slots - base
+        on_shard = (~lex_pad) & (local_slot >= 0) & (local_slot < rows)
+        safe_slots = jnp.where(on_shard, local_slot, 0)
+        l_emb = jnp.take_along_axis(masked_emb, safe_slots, axis=1)
+        dup = jnp.any(
+            jnp.where(on_shard, local_slot, -2)[:, :, None]
+            == jnp.where(e_idx < 0, -3, e_idx)[:, None, :],
+            axis=2,
+        )
+        l_dead = (~on_shard) | dup | ~jnp.isfinite(l_emb)
+
+        match_e = e_idx[:, :, None] == jnp.where(
+            on_shard, local_slot, -2
+        )[:, None, :]
+        e_lexn = jnp.sum(
+            jnp.where(match_e, lexn_sparse[:, None, :], 0.0), axis=2
+        )
+        e_comb = jnp.where(
+            e_idx < 0, NEG_INF, w_embedding * e_vals + w_lexical * e_lexn
+        )
+        l_comb = jnp.where(
+            l_dead, NEG_INF,
+            w_embedding * l_emb + w_lexical * lexn_sparse,
+        )
+
+        all_comb = jnp.concatenate([e_comb, l_comb], axis=1)
+        all_emb = jnp.concatenate([e_vals, l_emb], axis=1)
+        all_lexn = jnp.concatenate([e_lexn, lexn_sparse], axis=1)
+        g_local = jnp.concatenate(
+            [e_idx, jnp.where(on_shard, local_slot, -1)], axis=1
+        )
+        s_vals, sel = jax.lax.top_k(all_comb, k_local)
+        s_emb = jnp.take_along_axis(all_emb, sel, axis=1)
+        s_lexn = jnp.take_along_axis(all_lexn, sel, axis=1)
+        g_all = jnp.where(g_local >= 0, g_local + base, -1)
+        s_idx = jnp.take_along_axis(g_all, sel, axis=1)
+        s_idx = jnp.where(s_vals == NEG_INF, -1, s_idx)
+
+        q_n = q.shape[0]
+        vals, emb_k, lex_k, idx = s_vals, s_emb, s_lexn, s_idx
+        for a in reversed(axes):
+            av = jax.lax.all_gather(vals, a)
+            ae = jax.lax.all_gather(emb_k, a)
+            al = jax.lax.all_gather(lex_k, a)
+            ai = jax.lax.all_gather(idx, a)
+            fv = jnp.transpose(av, (1, 0, 2)).reshape(q_n, -1)
+            fe = jnp.transpose(ae, (1, 0, 2)).reshape(q_n, -1)
+            fl = jnp.transpose(al, (1, 0, 2)).reshape(q_n, -1)
+            fi = jnp.transpose(ai, (1, 0, 2)).reshape(q_n, -1)
+            kk = min(k, fv.shape[1])
+            vals, sel2 = jax.lax.top_k(fv, kk)
+            emb_k = jnp.take_along_axis(fe, sel2, axis=1)
+            lex_k = jnp.take_along_axis(fl, sel2, axis=1)
+            idx = jnp.take_along_axis(fi, sel2, axis=1)
+        if kk < k:
+            pad = k - kk
+            vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            emb_k = jnp.pad(emb_k, ((0, 0), (0, pad)))
+            lex_k = jnp.pad(lex_k, ((0, 0), (0, pad)))
+            idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+        idx = jnp.where(vals == NEG_INF, -1, idx)
+        return vals, emb_k, lex_k, idx.astype(jnp.int32)
+
     qspec = P(data_axis, None) if data_axis else P()
     cspec = axes if len(axes) > 1 else axes[0]
     fn = shard_map(
@@ -486,19 +665,7 @@ def sharded_hybrid_topk_quantized(
         out_specs=(qspec, qspec, qspec, qspec),
         check_vma=False,
     )
-    vals, emb_k, lex_k, idx = fn(
-        queries, values, scales, valid_mask, lex_slots, lex_vals
-    )
-    if not with_sims:
-        return vals, emb_k, lex_k, idx
-    safe = jnp.maximum(idx, 0)
-    cand = jnp.take(values, safe.reshape(-1), axis=0).astype(jnp.float32)
-    cand_scales = jnp.take(scales, safe.reshape(-1), axis=0)
-    cand = (cand * cand_scales).reshape(qn, k, d)
-    sims = jnp.einsum(
-        "qkd,qjd->qkj", cand, cand, preferred_element_type=jnp.float32
-    )
-    return vals, emb_k, lex_k, idx, sims
+    return fn(queries, values, scales, valid_mask, lex_slots, lex_vals)
 
 
 def shard_corpus(corpus, mesh: Mesh, corpus_axis: str = "corpus"):

@@ -54,21 +54,22 @@ class TestPackedParity:
         absmax = np.maximum(np.abs(c).max(axis=1, keepdims=True), 1e-10)
         scales = (absmax / 127.0).astype(np.float32)
         values = np.clip(np.round(c / scales), -127, 127).astype(np.int8)
+        l1 = (scales[:, 0] * np.abs(values).astype(np.float32).sum(axis=1))
         args = (
             jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales),
-            jnp.asarray(mask), jnp.asarray(ls), jnp.asarray(lv),
-            jnp.float32(0.7), jnp.float32(0.3),
+            jnp.asarray(l1), jnp.asarray(mask), jnp.asarray(ls),
+            jnp.asarray(lv), jnp.float32(0.7), jnp.float32(0.3),
         )
-        vals, emb, lex, idx = (
+        vals, emb, lex, idx, exact = (
             np.asarray(x) for x in hybrid_topk_quantized(*args, 16)
         )
-        v2, e2, l2, i2 = unpack_topk(
-            hybrid_topk_quantized_packed(*args, 16), q.shape[0], 16
-        )
+        packed = np.asarray(hybrid_topk_quantized_packed(*args, 16))
+        v2, e2, l2, i2 = unpack_topk(packed, q.shape[0], 16)
         np.testing.assert_array_equal(vals, v2)
         np.testing.assert_array_equal(idx, i2)
         np.testing.assert_array_equal(emb, e2)
         np.testing.assert_array_equal(lex, l2)
+        np.testing.assert_array_equal(exact, packed[:, 4, 0] > 0.5)
 
     def test_unpack_trims_padded_rows(self):
         q, c, mask, ls, lv = _inputs(nq=8)

@@ -153,10 +153,11 @@ def test_sharded_quantized_self_retrieval(tmp_path):
     )
 
     probe = emb[::500][:4]
-    vals, e, l, idx = sharded_hybrid_topk_quantized(
+    vals, e, l, idx, exact = sharded_hybrid_topk_quantized(
         jnp.asarray(probe),
         eng.store.corpus(),
         eng.store.scales(),
+        eng.store.l1(),
         eng.store.valid_mask(),
         jnp.full((4, 512), -1, dtype=jnp.int32),
         jnp.zeros((4, 512), dtype=jnp.float32),
@@ -167,7 +168,11 @@ def test_sharded_quantized_self_retrieval(tmp_path):
     )
     top = np.asarray(idx)[:, 0]
     assert (top == np.arange(0, 2000, 500)).all(), top
-    assert np.allclose(np.asarray(e)[:, 0], 1.0, atol=2e-2)  # int8 noise
+    # phase-2 rescoring runs in true f32 now: the self-match cosine is the
+    # exact dequantized <v, v> which deviates from 1.0 only by the int8
+    # quantization of the stored row itself
+    assert np.allclose(np.asarray(e)[:, 0], 1.0, atol=2e-2)
+    assert np.asarray(exact).shape == (4,)
 
 
 def test_sharded_embedding_candidates_match(engines):
