@@ -152,6 +152,15 @@ class LexicalIndex:
             idf = max(
                 math.log((self.total_docs - df + 0.5) / (df + 0.5)), 0.0
             )
+            if idf == 0.0 and df >= 1024:
+                # exact skip, matching the native index: a clamped-to-zero
+                # idf contributes exactly 0 to every doc, so walking the
+                # (by construction huge, df >= N/2) posting list only
+                # produces zero-score entries that cannot affect the
+                # hybrid blend (lex_norm 0). Small corpora keep the walk
+                # so docs matching ONLY ubiquitous terms still show up in
+                # the raw candidate list (historical contract).
+                continue
             for doc_id, term_freq in postings.items():
                 doc_length = float(self.doc_lengths.get(doc_id, 0))
                 if doc_length == 0.0:
@@ -187,6 +196,11 @@ class LexicalIndex:
             out_vals[n] = s
             n += 1
         return n
+
+    def compile_all(self) -> int:
+        """Interface parity with the native index's snapshot precompile;
+        the pure-Python scorer has no compiled form."""
+        return 0
 
     def contains(self, chunk_id: str) -> bool:
         return chunk_id in self.doc_terms

