@@ -154,6 +154,19 @@ def passage_hashes() -> Set[str]:
             out.add(normalized_hash(page))
             for para in page.split("\n\n"):
                 out.add(normalized_hash(para))
+    # third-party eval documents too (belt-and-braces: their sources —
+    # pydoc topics, pygame docs — are not in training/corpus.py's package
+    # list, but the holdout is enforced rather than assumed)
+    try:
+        from eval_harness.thirdparty import thirdparty_docs
+
+        for doc in thirdparty_docs():
+            for page in doc["pages"]:
+                out.add(normalized_hash(page))
+                for para in page.split("\n\n"):
+                    out.add(normalized_hash(para))
+    except Exception:  # noqa: BLE001 — sources absent on some hosts
+        pass
     return out
 
 

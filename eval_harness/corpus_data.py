@@ -1037,3 +1037,25 @@ REJECTION_QUERIES = [
 assert len(QUERIES) == 45, len(QUERIES)
 assert len(REJECTION_QUERIES) == 5
 assert len(DOCS) == 18 and all(len(d["pages"]) == 5 for d in DOCS)
+
+# ---- round-3 extension (corpus_data_v3.py): 13 more documents, 108 more
+# retrieval queries, 10 more rejection queries — takes the dev split to
+# 153 retrieval + 15 rejection so one query is worth <= 0.0065 hit rate
+# (VERDICT r2 weak #4: 45 queries put adoption decisions inside noise).
+from eval_harness.corpus_data_v3 import (  # noqa: E402
+    DOCS_V3,
+    QUERIES_V3,
+    REJECTION_QUERIES_V3,
+)
+
+DOCS = DOCS + DOCS_V3
+QUERIES = QUERIES + QUERIES_V3
+REJECTION_QUERIES = REJECTION_QUERIES + REJECTION_QUERIES_V3
+
+assert len(QUERIES) == 153, len(QUERIES)
+assert len(REJECTION_QUERIES) == 15
+assert len(DOCS) == 31 and all(len(d["pages"]) == 5 for d in DOCS)
+_names = [d["doc"] for d in DOCS]
+assert len(set(_names)) == len(_names)
+for _q in QUERIES:
+    assert _q[1] in _names and 1 <= _q[2] <= 5, _q

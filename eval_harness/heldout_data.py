@@ -252,3 +252,18 @@ HELDOUT_REJECTION_QUERIES = [
 
 assert len(HELDOUT_QUERIES) == 45, len(HELDOUT_QUERIES)
 assert len(HELDOUT_REJECTION_QUERIES) == 5
+
+# ---- round-3 extension (heldout_data_v3.py): same growth as the dev
+# split — 153 retrieval + 15 rejection total (VERDICT r2 weak #4).
+from eval_harness.heldout_data_v3 import (  # noqa: E402
+    HELDOUT_QUERIES_V3,
+    HELDOUT_REJECTION_QUERIES_V3,
+)
+
+HELDOUT_QUERIES = HELDOUT_QUERIES + HELDOUT_QUERIES_V3
+HELDOUT_REJECTION_QUERIES = (
+    HELDOUT_REJECTION_QUERIES + HELDOUT_REJECTION_QUERIES_V3
+)
+
+assert len(HELDOUT_QUERIES) == 157, len(HELDOUT_QUERIES)
+assert len(HELDOUT_REJECTION_QUERIES) == 15

@@ -105,10 +105,22 @@ def cmd_list_configs(args) -> int:
 
 
 def cmd_generate(args) -> int:
-    from eval_harness.corpus import generate_corpus, generate_ground_truth
+    if args.split == "thirdparty":
+        from eval_harness.thirdparty import (
+            generate_thirdparty_corpus,
+            generate_thirdparty_ground_truth,
+        )
 
-    names = generate_corpus(args.documents)
-    count = generate_ground_truth(args.ground_truth, split=args.split)
+        names = generate_thirdparty_corpus(args.documents)
+        count = generate_thirdparty_ground_truth(args.ground_truth)
+    else:
+        from eval_harness.corpus import (
+            generate_corpus,
+            generate_ground_truth,
+        )
+
+        names = generate_corpus(args.documents)
+        count = generate_ground_truth(args.ground_truth, split=args.split)
     print(f"wrote {len(names)} PDFs to {args.documents}")
     print(
         f"wrote {count} ground-truth queries ({args.split} split) "
@@ -143,9 +155,11 @@ def main(argv=None) -> int:
         "--ground-truth", default="eval_harness/ground_truth/queries.jsonl"
     )
     p_gen.add_argument(
-        "--split", choices=("dev", "test"), default="dev",
+        "--split", choices=("dev", "test", "thirdparty"), default="dev",
         help="dev = tuning split (corpus_data.py); test = held-out "
-        "report-only split (heldout_data.py)",
+        "report-only split (heldout_data.py); thirdparty = real "
+        "third-party documents (thirdparty.py: CPython reference + "
+        "pygame docs) through the full pdf->chunk->embed pipeline",
     )
     p_gen.set_defaults(fn=cmd_generate)
 

@@ -38,6 +38,14 @@ def main(argv=None) -> int:
         "over eval_harness/heldout_data.py queries). Report-only: nothing "
         "may ever be tuned on its numbers.",
     )
+    ap.add_argument(
+        "--thirdparty",
+        action="store_true",
+        help="ALSO run the third-party split: after the authored-corpus "
+        "runs, ingest eval_harness/thirdparty.py's real documents "
+        "(CPython reference + pygame docs) through the live pipeline and "
+        "evaluate baseline_thirdparty over them. Report-only.",
+    )
     args = ap.parse_args(argv)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -143,6 +151,40 @@ def main(argv=None) -> int:
                 ]
             )
             results[cfg] = "PASS" if code == 0 else "FAIL"
+
+        if args.thirdparty:
+            # phase 2: add the REAL third-party documents to the live
+            # corpus (authored docs hash-skip on the incremental reindex)
+            # and evaluate over them — generalization to text nobody on
+            # this project wrote, through the full pdf->chunk->embed path
+            from eval_harness.thirdparty import (
+                generate_thirdparty_corpus,
+                generate_thirdparty_ground_truth,
+            )
+
+            tp_names = generate_thirdparty_corpus(docs)
+            gt_tp = os.path.join(work, "queries_thirdparty.jsonl")
+            ntp = generate_thirdparty_ground_truth(gt_tp)
+            print(f"+ {len(tp_names)} third-party PDFs, {ntp} queries; "
+                  "reindexing...")
+            requests.post(f"{base}/reindex", timeout=10)
+            for _ in range(900):
+                j = requests.get(f"{base}/jobs/active", timeout=10).json()
+                if j is None:
+                    break
+                time.sleep(3)
+            print("stats:", requests.get(f"{base}/stats", timeout=10).json())
+            code = eval_main(
+                [
+                    "evaluate",
+                    "--config",
+                    "eval_harness/configs/baseline_thirdparty.yaml",
+                    "--endpoint", base,
+                    "--ground-truth", gt_tp,
+                    "--out", out_dir,
+                ]
+            )
+            results["baseline_thirdparty"] = "PASS" if code == 0 else "FAIL"
         print(json.dumps(results))
         return 0
     finally:

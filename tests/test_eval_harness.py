@@ -85,11 +85,12 @@ def test_matches_gold_with_tolerance():
 
 def test_ground_truth_loads():
     queries = load_ground_truth("eval_harness/ground_truth/queries.jsonl")
-    # reference scale: 45 retrieval + 5 rejection (eval/ground_truth/
-    # queries.jsonl in the reference also holds 50)
-    assert len(queries) == 50
+    # round-3 scale: 153 retrieval + 15 rejection (the reference ships 50
+    # total; the extension buys per-query granularity <= 0.0066 so wins
+    # are distinguishable from noise — VERDICT r2 weak #4)
+    assert len(queries) == 168
     rejections = [q for q in queries if q.is_rejection]
-    assert len(rejections) == 5
+    assert len(rejections) == 15
     assert all(q.gold_references for q in queries if not q.is_rejection)
 
 
@@ -119,9 +120,9 @@ def test_heldout_split_is_valid_and_disjoint(tmp_path):
 
     path = tmp_path / "heldout.jsonl"
     n = generate_ground_truth(str(path), split="test")
-    assert n == 50
+    assert n == 172
     queries = load_ground_truth(str(path))
-    assert len([q for q in queries if q.is_rejection]) == 5
+    assert len([q for q in queries if q.is_rejection]) == 15
     assert all(q.query_id.startswith("H") for q in queries)
 
     # committed copy stays in sync with the authored data
@@ -224,15 +225,16 @@ def test_live_server_eval(tmp_path):
         report = runner.run_evaluation(queries)
         s = report["summary"]
         # This drives the full harness mechanics over the authored hard
-        # corpus (45 retrieval + 5 rejection). The hash encoder is NOT
-        # expected to clear the 0.80 gate here — the corpus is built to
-        # defeat term matching; the quality gate is run with the trained
-        # encoder (see eval_harness/reports/).
-        assert s["n_queries"] == 45
+        # corpus (153 retrieval + 15 rejection after the round-3
+        # extension). The hash encoder is NOT expected to clear the 0.80
+        # gate here — the corpus is built to defeat term matching; the
+        # quality gate is run with the trained encoder (see
+        # eval_harness/reports/).
+        assert s["n_queries"] == 153
         assert 0.0 <= s["hit_rate_mean"] <= 1.0
         assert s["rejection_success_rate"] is not None
         assert set(report["by_difficulty"]) <= {"easy", "medium", "hard"}
-        assert len(report["per_query"]) == 50
+        assert len(report["per_query"]) == 168
 
         # per-request search_params reach the engine: lexical-only weights
         # change scores, use_reranker=False drops reranker fields
