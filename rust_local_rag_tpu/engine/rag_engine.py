@@ -301,6 +301,17 @@ class RagEngine:
             )
         except ValueError:
             self._rejection_threshold = 0.0
+        # Optional second gate signal (joint with the judge floor): drop
+        # results whose absolute dense cosine is below this, even when the
+        # judge passed them. Novel junk the judge was never calibrated on
+        # usually has a low best cosine (VERDICT r2 missing #2).
+        try:
+            self._rejection_cosine_floor = float(
+                _os.environ.get("RAG_TPU_REJECTION_COSINE_FLOOR", "0")
+                or 0.0
+            )
+        except ValueError:
+            self._rejection_cosine_floor = 0.0
         self.load_from_disk()
 
     # ----- lifecycle -------------------------------------------------------
@@ -462,6 +473,7 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
+        rejection_cosine_floor: Optional[float] = None,
     ) -> List[SearchResult]:
         """Two-stage retrieval (rag_engine.rs:470-701)."""
         return self.search_batch(
@@ -470,6 +482,7 @@ class RagEngine:
             weights,
             rejection_threshold=rejection_threshold,
             use_reranker=use_reranker,
+            rejection_cosine_floor=rejection_cosine_floor,
         )[0]
 
     def _prep_queries(self, queries: List[str], nq_pad: int):
@@ -532,6 +545,7 @@ class RagEngine:
         collect_sims: bool = False,
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
+        rejection_cosine_floor: Optional[float] = None,
     ):
         """Batched two-stage retrieval: the whole query batch rides ONE
         fused first-stage device program and ONE batched rerank forward —
@@ -722,6 +736,12 @@ class RagEngine:
             # sorts by initial score), so the final SearchResults are built
             # in ONE pass with no intermediate candidate dicts. Rejection
             # confidence without a judge is the absolute dense cosine.
+            eff_floor = max(
+                thr,
+                rejection_cosine_floor
+                if rejection_cosine_floor is not None
+                else self._rejection_cosine_floor,
+            )
             meta_for_slot = self.store.meta_for_slot
             outputs = []
             for qi in range(nq):
@@ -732,7 +752,7 @@ class RagEngine:
                     slot = row_i[rank]
                     if slot < 0 or not row_f[rank]:
                         continue
-                    if thr > 0.0 and row_e[rank] < thr:
+                    if eff_floor > 0.0 and row_e[rank] < eff_floor:
                         continue
                     m = meta_for_slot(slot)
                     res.append(
@@ -813,20 +833,36 @@ class RagEngine:
             )
             for qi in range(nq)
         ]
-        if thr > 0.0:
+        cos_floor = (
+            rejection_cosine_floor
+            if rejection_cosine_floor is not None
+            else self._rejection_cosine_floor
+        )
+        if thr > 0.0 or cos_floor > 0.0:
             # Confidence = the reranker's absolute yes-probability when the
             # result was reranked (the trained yes/no judge is calibrated
             # for exactly this question), else the absolute dense cosine.
             # Blended scores are per-query max-normalized so they cannot
             # signal "nothing here".
-            def _confidence(r: SearchResult) -> float:
+            # JOINT gate (VERDICT r2 missing #2): with a judge active, an
+            # optional dense-cosine floor must ALSO pass — the judge's
+            # absolute calibration only generalizes to junk resembling its
+            # training templates, while novel junk usually has low best
+            # cosine; requiring both catches each signal's blind spot.
+            def _keep(r: SearchResult) -> bool:
                 if r.reranker_score is not None:
-                    return r.reranker_score
-                return r.embedding_score or 0.0
+                    if thr > 0.0 and r.reranker_score < thr:
+                        return False
+                    if cos_floor > 0.0 and (
+                        (r.embedding_score or 0.0) < cos_floor
+                    ):
+                        return False
+                    return True
+                conf = r.embedding_score or 0.0
+                return conf >= max(thr, cos_floor)
 
             outputs = [
-                [r for r in out if _confidence(r) >= thr]
-                for out in outputs
+                [r for r in out if _keep(r)] for out in outputs
             ]
         if not collect_sims:
             return outputs
@@ -937,6 +973,7 @@ class RagEngine:
         top_k: int,
         weights: Optional[QueryWeights] = None,
         rejection_threshold: Optional[float] = None,
+        rejection_cosine_floor: Optional[float] = None,
     ) -> Optional["PendingSearch"]:
         """First half of the rerank-off hot lane: host prep + ONE async
         device dispatch, NO blocking fetch. The batcher overlaps the next
@@ -984,8 +1021,14 @@ class RagEngine:
             if rejection_threshold is not None
             else self._rejection_threshold
         )
+        cosf = (
+            rejection_cosine_floor
+            if rejection_cosine_floor is not None
+            else self._rejection_cosine_floor
+        )
         return PendingSearch(
-            out=out, nq=nq, k=k, floor=max(thr, 0.0),
+            out=out, nq=nq, k=k,
+            floor=max(thr, cosf, 0.0),
             q_emb=q_emb, lex_slots=lex_slots, lex_vals=lex_vals,
             resolved=resolved, kb=_bucket_k(k),
         )
@@ -1154,6 +1197,7 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
+        rejection_cosine_floor: Optional[float] = None,
     ) -> List[SearchResult]:
         """MMR-diversified search (rag_engine.rs:717-759)."""
         return self.search_with_diversity_batch(
@@ -1163,6 +1207,7 @@ class RagEngine:
             weights,
             rejection_threshold=rejection_threshold,
             use_reranker=use_reranker,
+            rejection_cosine_floor=rejection_cosine_floor,
         )[0]
 
     def search_with_diversity_batch(
@@ -1173,6 +1218,7 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
+        rejection_cosine_floor: Optional[float] = None,
     ) -> List[List[SearchResult]]:
         """Batched MMR-diversified search: one device pass for the pool
         retrieval of the whole batch, per-query MMR selection."""
@@ -1180,6 +1226,7 @@ class RagEngine:
         _kw = {
             "rejection_threshold": rejection_threshold,
             "use_reranker": use_reranker,
+            "rejection_cosine_floor": rejection_cosine_floor,
         }
         if diversity_factor == 0.0:
             return self.search_batch(queries, top_k, weights, **_kw)

@@ -57,6 +57,7 @@ class _Item:
     rejection_threshold: Optional[float] = None
     use_reranker: bool = True
     want_payload: bool = False
+    rejection_cosine_floor: Optional[float] = None
 
 
 class SearchBatcher:
@@ -82,9 +83,12 @@ class SearchBatcher:
             pipeline_depth = int(
                 os.environ.get("RAG_TPU_PIPELINE_DEPTH", "2")
             )
+        self.pipeline_depth = max(pipeline_depth, 1)
         self._queue: "queue.Queue[_Item]" = queue.Queue()
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
         self._pool = ThreadPoolExecutor(
-            max_workers=max(pipeline_depth, 1),
+            max_workers=self.pipeline_depth,
             thread_name_prefix="search-exec",
         )
         # one serializer shared across pipeline threads: the native
@@ -123,6 +127,7 @@ class SearchBatcher:
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
         want_payload: bool = False,
+        rejection_cosine_floor: Optional[float] = None,
     ) -> Future:
         """Enqueue one search; returns a concurrent Future resolving to a
         List[SearchResult], or to response-body bytes when want_payload
@@ -134,6 +139,7 @@ class SearchBatcher:
             _weights_key(weights),
             rejection_threshold,
             bool(use_reranker),
+            rejection_cosine_floor,
         )
         self._queue.put(
             _Item(
@@ -143,6 +149,7 @@ class SearchBatcher:
                 rejection_threshold=rejection_threshold,
                 use_reranker=bool(use_reranker),
                 want_payload=want_payload,
+                rejection_cosine_floor=rejection_cosine_floor,
                 future=fut,
             )
         )
@@ -156,12 +163,14 @@ class SearchBatcher:
         weights: Optional[QueryWeights],
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
+        rejection_cosine_floor: Optional[float] = None,
     ):
         """Blocking search (call from executor threads)."""
         return self.submit(
             query, top_k, diversity, weights,
             rejection_threshold=rejection_threshold,
             use_reranker=use_reranker,
+            rejection_cosine_floor=rejection_cosine_floor,
         ).result()
 
     # ----- worker -----
@@ -176,19 +185,29 @@ class SearchBatcher:
                 if item is None:
                     break
                 pending = [item]
-            # collect more items with the SAME key inside the window
+            # Collect more items with the SAME key inside the window —
+            # and, while every pipeline slot is busy, KEEP collecting past
+            # the window: releasing a fragment early would only queue it
+            # behind the in-flight batches anyway, and small batches repay
+            # the fixed per-dispatch cost (~50 ms tunnel RTT) at a
+            # fraction of the queries. Under light load the window alone
+            # bounds added latency; under saturation batches grow to
+            # whatever arrives while the device works (anti-convoy).
             deadline = time.monotonic() + self.window_s
             leader_key = pending[0].key
             stash: List[_Item] = []
-            while (
-                len(pending) < self.max_batch
-                and time.monotonic() < deadline
-            ):
+            while len(pending) < self.max_batch:
                 remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    with self._inflight_cv:
+                        saturated = self._inflight >= self.pipeline_depth
+                    if not saturated:
+                        break
+                    remaining = 0.002  # poll while waiting for a slot
                 try:
                     item = self._queue.get(timeout=max(remaining, 0.0005))
                 except queue.Empty:
-                    break
+                    continue  # re-evaluate window/saturation
                 if item is None:
                     self._stopping.set()
                     break
@@ -202,12 +221,22 @@ class SearchBatcher:
                 # run on the pool: the collector immediately returns to
                 # coalescing the NEXT batch while this one's device work
                 # is in flight (pipeline depth = pool width)
-                self._pool.submit(self._execute, batch)
+                with self._inflight_cv:
+                    self._inflight += 1
+                self._pool.submit(self._run_one, batch)
         # shutdown: fail any stashed items still waiting
         for item in pending:
             item.future.set_exception(RuntimeError("server shutting down"))
 
     # ----- execution -----
+
+    def _run_one(self, batch: List[_Item]) -> None:
+        try:
+            self._execute(batch)
+        finally:
+            with self._inflight_cv:
+                self._inflight -= 1
+                self._inflight_cv.notify_all()
 
     def _hot_lane(self, batch: List[_Item]) -> bool:
         top_k, diversity = batch[0].key[0], batch[0].key[1]
@@ -270,6 +299,7 @@ class SearchBatcher:
                 top_k,
                 batch[0].weights,
                 rejection_threshold=batch[0].rejection_threshold,
+                rejection_cosine_floor=batch[0].rejection_cosine_floor,
             )
             if pending is None:
                 # store empty or lane unsupported after all
@@ -302,6 +332,7 @@ class SearchBatcher:
                 batch[0].weights,
                 rejection_threshold=batch[0].rejection_threshold,
                 use_reranker=batch[0].use_reranker,
+                rejection_cosine_floor=batch[0].rejection_cosine_floor,
             )
         # non-hot lanes resolve to objects even under want_payload; the
         # HTTP layer falls back to json.dumps for those

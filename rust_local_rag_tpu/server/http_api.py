@@ -77,6 +77,7 @@ class AppContext:
         weights: Optional[QueryWeights],
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
+        rejection_cosine_floor: Optional[float] = None,
     ):
         return self.batcher.search(
             query,
@@ -85,6 +86,7 @@ class AppContext:
             weights,
             rejection_threshold=rejection_threshold,
             use_reranker=use_reranker,
+            rejection_cosine_floor=rejection_cosine_floor,
         )
 
     def list_documents(self):
@@ -216,6 +218,17 @@ def build_app(ctx: AppContext) -> web.Application:
         if not isinstance(use_reranker, bool):
             return web.Response(status=400, text="invalid use_reranker")
         try:
+            cos_floor = body.get("rejection_cosine_floor")
+            cos_floor = None if cos_floor is None else float(cos_floor)
+        except (TypeError, ValueError):
+            return web.Response(
+                status=400, text="invalid rejection_cosine_floor"
+            )
+        if cos_floor is not None and not math.isfinite(cos_floor):
+            return web.Response(
+                status=400, text="invalid rejection_cosine_floor"
+            )
+        try:
             # enqueue straight into the batcher and await the future on
             # the event loop — no executor-thread hop (single-core host:
             # each thread handoff is measurable GIL churn). The rerank-off
@@ -227,6 +240,7 @@ def build_app(ctx: AppContext) -> web.Application:
                     rejection_threshold=rejection,
                     use_reranker=use_reranker,
                     want_payload=True,
+                    rejection_cosine_floor=cos_floor,
                 )
             )
         except Exception as e:  # noqa: BLE001

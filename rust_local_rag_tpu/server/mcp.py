@@ -88,6 +88,15 @@ TOOLS = [
                         "(default: true)."
                     ),
                 },
+                "rejection_cosine_floor": {
+                    "type": "number",
+                    "description": (
+                        "Optional second rejection signal: minimum absolute "
+                        "dense cosine a result must ALSO clear when the "
+                        "judge gate is active (joint gate). Default: server "
+                        "configuration."
+                    ),
+                },
             },
             "required": ["query"],
         },
@@ -224,6 +233,8 @@ class McpHandler:
             diversity = float(args.get("diversity_factor", 0.3))
             rejection = args.get("rejection_threshold")
             rejection = None if rejection is None else float(rejection)
+            cos_floor = args.get("rejection_cosine_floor")
+            cos_floor = None if cos_floor is None else float(cos_floor)
             raw_w = args.get("weights")
             if raw_w is not None and not isinstance(raw_w, dict):
                 raise ValueError("weights must be an object")
@@ -234,7 +245,7 @@ class McpHandler:
         # NaN slides through a min/max clamp unchanged
         if not math.isfinite(diversity) or (
             rejection is not None and not math.isfinite(rejection)
-        ):
+        ) or (cos_floor is not None and not math.isfinite(cos_floor)):
             raise McpError(-32602, "Invalid params: non-finite number")
         diversity = min(max(diversity, 0.0), 1.0)
         use_reranker = args.get("use_reranker", True)
@@ -242,7 +253,8 @@ class McpHandler:
             raise McpError(-32602, "Invalid params: use_reranker must be a boolean")
         try:
             results = self.ctx.search(
-                query, top_k, diversity, weights, rejection, use_reranker
+                query, top_k, diversity, weights, rejection, use_reranker,
+                cos_floor,
             )
         except Exception as e:  # noqa: BLE001
             return _text_result(f"Search error: {e}", is_error=True)

@@ -96,6 +96,7 @@ class PromptPairBatcher:
         random_negative_frac: float = 0.2,
         dense_neighbors: Optional[np.ndarray] = None,
         ood_frac: float = 0.0,
+        paraphrase_frac: float = 0.0,
     ):
         self.rng = np.random.default_rng(seed)
         self.seq_len = seq_len
@@ -137,6 +138,11 @@ class PromptPairBatcher:
             from rust_local_rag_tpu.training.ood import junk_queries
 
             self._junk = junk_queries(4096, seed=seed)
+        # paraphrase the POSITIVE query with this probability so the judge
+        # stops keying on verbatim overlap (VERDICT r2 missing #3: crop
+        # queries != paraphrase serving queries; the v7/v8 judges lost at
+        # every blend weight > 0 because of exactly this gap)
+        self.paraphrase_frac = paraphrase_frac
 
     def _premine(self, bm25, n_neighbors: int = 4, threads: int = 8):
         """[P, n_neighbors] int32 neighbor table; -1 = no mined hit.
@@ -205,7 +211,18 @@ class PromptPairBatcher:
         qlen = int(self.rng.integers(3, 13))
         start = int(self.rng.integers(0, max(len(words) - qlen, 1)))
         q = " ".join(words[start : start + qlen])
-        if self.rng.random() < 0.2:
+        paraphrased = (
+            self.paraphrase_frac > 0
+            and self.rng.random() < self.paraphrase_frac
+        )
+        if paraphrased:
+            from rust_local_rag_tpu.training.paraphrase import paraphrase
+
+            q = paraphrase(q, self.rng)
+        if paraphrased or self.rng.random() < 0.2:
+            # paraphrased queries keep the FULL passage: span removal
+            # exists to defeat copy-matching, which the rewrite already
+            # breaks — and the serving passage always contains its answer
             passage = para
         else:
             passage = " ".join(words[:start] + words[start + qlen :])
@@ -331,6 +348,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         "far-out-of-domain factoid (training/ood.py) — calibrates the "
         "absolute yes-probability for the engine's rejection floor",
     )
+    ap.add_argument(
+        "--paraphrase-frac", type=float, default=0.0,
+        help="fraction of positive queries rewritten by "
+        "training/paraphrase.py (synonym substitution + question "
+        "framing): closes the verbatim-crop vs paraphrase-serving gap "
+        "behind the v7/v8 judges losing at every blend weight > 0",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -406,7 +430,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     batcher = PromptPairBatcher(
         train_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
         seq_len=args.seq_len, seed=args.seed, dense_neighbors=dense,
-        ood_frac=args.ood_frac,
+        ood_frac=args.ood_frac, paraphrase_frac=args.paraphrase_frac,
     )
     if dense is not None:
         # the dense table was mined over the SAME >=16-word filter the
@@ -418,6 +442,15 @@ def main(argv: Optional[List[str]] = None) -> None:
         seq_len=args.seq_len, seed=args.seed + 1, index_size=10000,
     )
     eval_pi, eval_pm, eval_ni, eval_nm = held.batch(512)
+    # paraphrase probe: the SAME held paragraphs but with every positive
+    # query rewritten (paraphrase.py) — the serving-register question the
+    # verbatim pair-acc metric cannot see
+    held_para = PromptPairBatcher(
+        held_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
+        seq_len=args.seq_len, seed=args.seed + 2, index_size=10000,
+        paraphrase_frac=1.0,
+    )
+    para_pi, para_pm, para_ni, para_nm = held_para.batch(512)
     # OOD rejection probe: junk from templates RESERVED out of training
     # (ood.py split="probe" — a seed reshuffle of the training grid would
     # measure memorization, not generalization) against held-out passages;
@@ -502,7 +535,11 @@ def main(argv: Optional[List[str]] = None) -> None:
         return pair_acc, cls_acc
 
     pa, ca = eval_metrics(params, eval_pi, eval_pm, eval_ni, eval_nm)
-    print(f"step 0: held-out pair acc {float(pa):.3f} cls acc {float(ca):.3f}")
+    ppa, pca = eval_metrics(params, para_pi, para_pm, para_ni, para_nm)
+    print(
+        f"step 0: held-out pair acc {float(pa):.3f} cls acc {float(ca):.3f} "
+        f"| paraphrase pair acc {float(ppa):.3f} cls {float(pca):.3f}"
+    )
 
     best_acc = -1.0
     best_params = None
@@ -529,6 +566,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             )
         if args.eval_every and (done % args.eval_every == 0 or done >= args.steps):
             pa, ca = eval_metrics(params, eval_pi, eval_pm, eval_ni, eval_nm)
+            ppa, pca = eval_metrics(
+                params, para_pi, para_pm, para_ni, para_nm
+            )
             ood_note = ""
             if ood_ids is not None:
                 m = _margins(params, jnp.asarray(ood_ids), jnp.asarray(ood_mask))
@@ -539,12 +579,15 @@ def main(argv: Optional[List[str]] = None) -> None:
                 )
             print(
                 f"step {done}: held-out pair acc {float(pa):.3f} "
-                f"cls acc {float(ca):.3f}{ood_note}",
+                f"cls acc {float(ca):.3f} | paraphrase pair "
+                f"{float(ppa):.3f} cls {float(pca):.3f}{ood_note}",
                 flush=True,
             )
             # keep the BEST held-out checkpoint, not the final step: the
-            # v3 run peaked at 8000/12000 and drifted after
-            score = float(pa) + 0.1 * float(ca)
+            # v3 run peaked at 8000/12000 and drifted after. The selection
+            # score now includes the paraphrase probe — the serving
+            # register the verbatim metric is blind to.
+            score = float(pa) + float(ppa) + 0.1 * float(ca)
             if score > best_acc:
                 best_acc = score
                 best_step = done

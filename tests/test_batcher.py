@@ -26,6 +26,7 @@ class RecordingEngine:
         weights,
         rejection_threshold=None,
         use_reranker=True,
+        rejection_cosine_floor=None,
     ):
         with self.lock:
             self.batches.append(list(queries))
