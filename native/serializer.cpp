@@ -204,4 +204,60 @@ int64_t resp_serialize(void* h, const int32_t* slots, const float* score,
     return (int64_t)(p - out);
 }
 
+// Serialize a whole BATCH of queries in one ctypes crossing: arrays are
+// row-major [nq, k]; query q's payload is written contiguously into `out`
+// and its byte length into out_lens[q]. At 512-query serving batches the
+// per-call Python+ctypes overhead (~55 us/query measured) was most of the
+// serializer's cost — one crossing amortizes it to nothing.
+// Returns total bytes written, or -1 if out_cap would overflow (caller
+// doubles the buffer and retries).
+int64_t resp_serialize_batch(void* h, const int32_t* slots,
+                             const float* score, const float* emb,
+                             const float* lex, int64_t nq, int64_t k,
+                             float floor_thr, char* out, int64_t out_cap,
+                             int64_t* out_lens) {
+    Registry* reg = (Registry*)h;
+    std::shared_lock<std::shared_mutex> lk(reg->mu);
+    char* p = out;
+    char* end = out + out_cap;
+    for (int64_t q = 0; q < nq; q++) {
+        char* q_start = p;
+        if (p + 15 > end) return -1;
+        std::memcpy(p, "{\"results\": [", 13);
+        p += 13;
+        bool first = true;
+        const int32_t* s_row = slots + q * k;
+        const float* v_row = score + q * k;
+        const float* e_row = emb + q * k;
+        const float* l_row = lex + q * k;
+        for (int64_t i = 0; i < k; i++) {
+            int32_t slot = s_row[i];
+            if (slot < 0 || !std::isfinite(v_row[i])) continue;
+            if (floor_thr > 0.0f && e_row[i] < floor_thr) continue;
+            const std::string* frag = reg->find((int64_t)slot);
+            if (frag == nullptr) continue;
+            if (p + frag->size() + 256 > end) return -1;
+            if (!first) { *p++ = ','; *p++ = ' '; }
+            first = false;
+            *p++ = '{';
+            std::memcpy(p, frag->data(), frag->size());
+            p += frag->size();
+            std::memcpy(p, ",\"score\":", 9); p += 9;
+            p += fmt_float(p, v_row[i]);
+            std::memcpy(p, ",\"embedding_score\":", 19); p += 19;
+            p += fmt_float(p, e_row[i]);
+            std::memcpy(p, ",\"lexical_score\":", 17); p += 17;
+            p += fmt_float(p, l_row[i]);
+            std::memcpy(p, ",\"initial_score\":", 17); p += 17;
+            p += fmt_float(p, v_row[i]);
+            *p++ = '}';
+        }
+        if (p + 2 > end) return -1;
+        *p++ = ']';
+        *p++ = '}';
+        out_lens[q] = (int64_t)(p - q_start);
+    }
+    return (int64_t)(p - out);
+}
+
 }  // extern "C"

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import logging
 import os
-import queue
 import threading
 import time as _time
 from concurrent.futures import Future, ThreadPoolExecutor
@@ -53,11 +52,28 @@ class _Item:
     key: Tuple
     query: str
     weights: Optional[QueryWeights]
-    future: Future
+    future: object  # concurrent Future, or asyncio Future when loop is set
+    loop: Optional[object] = None  # asyncio loop owning `future`
     rejection_threshold: Optional[float] = None
     use_reranker: bool = True
     want_payload: bool = False
     rejection_cosine_floor: Optional[float] = None
+
+
+def _deliver(pairs: List[Tuple[object, object]]) -> None:
+    """Runs ON the event loop: resolve a whole batch of asyncio futures
+    with one loop wakeup (call_soon_threadsafe writes to the loop's
+    self-pipe — per-request that syscall + callback was measurable at
+    serving rates; per-batch it vanishes)."""
+    for fut, res in pairs:
+        if not fut.done():
+            fut.set_result(res)
+
+
+def _deliver_exc(pairs: List[Tuple[object, BaseException]]) -> None:
+    for fut, exc in pairs:
+        if not fut.done():
+            fut.set_exception(exc)
 
 
 class SearchBatcher:
@@ -84,7 +100,11 @@ class SearchBatcher:
                 os.environ.get("RAG_TPU_PIPELINE_DEPTH", "2")
             )
         self.pipeline_depth = max(pipeline_depth, 1)
-        self._queue: "queue.Queue[_Item]" = queue.Queue()
+        # condition-guarded buffer drained in BULK: one lock round trip
+        # hands the collector every queued item at once (queue.Queue costs
+        # a lock acquire/release per item per side)
+        self._buf: List[_Item] = []
+        self._buf_cv = threading.Condition()
         self._inflight = 0
         self._inflight_cv = threading.Condition()
         self._pool = ThreadPoolExecutor(
@@ -104,19 +124,18 @@ class SearchBatcher:
 
     def stop(self) -> None:
         self._stopping.set()
-        self._queue.put(None)  # type: ignore[arg-type]
+        with self._buf_cv:
+            self._buf_cv.notify_all()
         self._thread.join(timeout=5)
         self._pool.shutdown(wait=True)
         # fail anything still queued so no caller blocks forever
-        try:
-            while True:
-                item = self._queue.get_nowait()
-                if item is not None:
-                    item.future.set_exception(
-                        RuntimeError("server shutting down")
-                    )
-        except queue.Empty:
-            pass
+        with self._buf_cv:
+            leftovers, self._buf = self._buf, []
+        if leftovers:
+            self._complete_exc(
+                [(it, RuntimeError("server shutting down"))
+                 for it in leftovers]
+            )
 
     def submit(
         self,
@@ -128,11 +147,18 @@ class SearchBatcher:
         use_reranker: bool = True,
         want_payload: bool = False,
         rejection_cosine_floor: Optional[float] = None,
-    ) -> Future:
-        """Enqueue one search; returns a concurrent Future resolving to a
-        List[SearchResult], or to response-body bytes when want_payload
-        (hot lane only — other lanes resolve to objects regardless)."""
-        fut: Future = Future()
+        afuture: Optional[object] = None,
+        loop: Optional[object] = None,
+    ) -> object:
+        """Enqueue one search; resolves to a List[SearchResult], or to
+        response-body bytes when want_payload (hot lane only — other lanes
+        resolve to objects regardless).
+
+        Default: returns a new concurrent Future. Event-loop callers pass
+        `afuture` (loop.create_future()) + `loop` instead: the batcher then
+        resolves it with ONE call_soon_threadsafe per BATCH rather than the
+        per-request wakeup asyncio.wrap_future costs."""
+        fut = afuture if afuture is not None else Future()
         key = (
             top_k,
             round(float(diversity), 6),
@@ -141,18 +167,20 @@ class SearchBatcher:
             bool(use_reranker),
             rejection_cosine_floor,
         )
-        self._queue.put(
-            _Item(
-                key=key,
-                query=query,
-                weights=weights,
-                rejection_threshold=rejection_threshold,
-                use_reranker=bool(use_reranker),
-                want_payload=want_payload,
-                rejection_cosine_floor=rejection_cosine_floor,
-                future=fut,
-            )
+        item = _Item(
+            key=key,
+            query=query,
+            weights=weights,
+            rejection_threshold=rejection_threshold,
+            use_reranker=bool(use_reranker),
+            want_payload=want_payload,
+            rejection_cosine_floor=rejection_cosine_floor,
+            future=fut,
+            loop=loop if afuture is not None else None,
         )
+        with self._buf_cv:
+            self._buf.append(item)
+            self._buf_cv.notify()
         return fut
 
     def search(
@@ -175,16 +203,39 @@ class SearchBatcher:
 
     # ----- worker -----
 
+    def _drain(self, timeout: Optional[float]) -> List[_Item]:
+        """Take EVERYTHING queued in one lock round trip. timeout=None
+        blocks until something arrives (or stop); returns [] on timeout."""
+        with self._buf_cv:
+            if not self._buf:
+                if self._stopping.is_set():
+                    return []
+                self._buf_cv.wait(timeout)
+            out, self._buf = self._buf, []
+            return out
+
+    @staticmethod
+    def _split(
+        items: List[_Item], key: Tuple, room: int
+    ) -> Tuple[List[_Item], List[_Item]]:
+        batch: List[_Item] = []
+        rest: List[_Item] = []
+        for it in items:
+            if it.key == key and len(batch) < room:
+                batch.append(it)
+            else:
+                rest.append(it)
+        return batch, rest
+
     def _run(self) -> None:
         import time
 
-        pending: List[_Item] = []
+        pending: List[_Item] = []  # carried items (mixed keys)
         while not self._stopping.is_set():
             if not pending:
-                item = self._queue.get()
-                if item is None:
-                    break
-                pending = [item]
+                pending = self._drain(None)
+                if not pending:
+                    continue  # spurious wake / stopping
             # Collect more items with the SAME key inside the window —
             # and, while every pipeline slot is busy, KEEP collecting past
             # the window: releasing a fragment early would only queue it
@@ -193,10 +244,10 @@ class SearchBatcher:
             # fraction of the queries. Under light load the window alone
             # bounds added latency; under saturation batches grow to
             # whatever arrives while the device works (anti-convoy).
-            deadline = time.monotonic() + self.window_s
             leader_key = pending[0].key
-            stash: List[_Item] = []
-            while len(pending) < self.max_batch:
+            batch, pending = self._split(pending, leader_key, self.max_batch)
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch and not self._stopping.is_set():
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     with self._inflight_cv:
@@ -204,19 +255,14 @@ class SearchBatcher:
                     if not saturated:
                         break
                     remaining = 0.002  # poll while waiting for a slot
-                try:
-                    item = self._queue.get(timeout=max(remaining, 0.0005))
-                except queue.Empty:
-                    continue  # re-evaluate window/saturation
-                if item is None:
-                    self._stopping.set()
-                    break
-                if item.key == leader_key:
-                    pending.append(item)
-                else:
-                    stash.append(item)
+                got = self._drain(max(remaining, 0.0005))
+                if got:
+                    more, rest = self._split(
+                        got, leader_key, self.max_batch - len(batch)
+                    )
+                    batch.extend(more)
+                    pending.extend(rest)
 
-            batch, pending = pending, stash
             if batch:
                 # run on the pool: the collector immediately returns to
                 # coalescing the NEXT batch while this one's device work
@@ -225,8 +271,45 @@ class SearchBatcher:
                     self._inflight += 1
                 self._pool.submit(self._run_one, batch)
         # shutdown: fail any stashed items still waiting
-        for item in pending:
-            item.future.set_exception(RuntimeError("server shutting down"))
+        if pending:
+            self._complete_exc(
+                [(it, RuntimeError("server shutting down"))
+                 for it in pending]
+            )
+
+    # ----- completion (batched event-loop wakeups) -----
+
+    @staticmethod
+    def _complete(done: List[Tuple[_Item, object]]) -> None:
+        """Resolve a batch of futures: direct set_result for concurrent
+        futures; ONE call_soon_threadsafe per event loop for asyncio ones."""
+        by_loop: dict = {}
+        for it, res in done:
+            if it.loop is None:
+                if not it.future.done():
+                    it.future.set_result(res)
+            else:
+                by_loop.setdefault(it.loop, []).append((it.future, res))
+        for loop, pairs in by_loop.items():
+            try:
+                loop.call_soon_threadsafe(_deliver, pairs)
+            except RuntimeError:
+                pass  # loop closed (shutdown) — nothing to deliver to
+
+    @staticmethod
+    def _complete_exc(failed: List[Tuple[_Item, BaseException]]) -> None:
+        by_loop: dict = {}
+        for it, exc in failed:
+            if it.loop is None:
+                if not it.future.done():
+                    it.future.set_exception(exc)
+            else:
+                by_loop.setdefault(it.loop, []).append((it.future, exc))
+        for loop, pairs in by_loop.items():
+            try:
+                loop.call_soon_threadsafe(_deliver_exc, pairs)
+            except RuntimeError:
+                pass
 
     # ----- execution -----
 
@@ -280,9 +363,7 @@ class SearchBatcher:
             else:
                 self._execute_general(batch, top_k)
         except Exception as e:  # noqa: BLE001
-            for it in batch:
-                if not it.future.done():
-                    it.future.set_exception(e)
+            self._complete_exc([(it, e) for it in batch])
             return
         if debug:
             print(
@@ -307,19 +388,24 @@ class SearchBatcher:
                 return
             col = self.engine.fetch_columnar(pending)
             ser = self._serializer()
+            nq = len(batch)
+            payloads = None
+            if ser is not None and any(it.want_payload for it in batch):
+                # ONE ctypes crossing serializes the whole batch
+                payloads = ser.serialize_batch(
+                    col.slots[:nq], col.vals[:nq],
+                    col.emb[:nq], col.lex[:nq],
+                    floor=col.floor,
+                )
+            done: List[Tuple[_Item, object]] = []
             for qi, it in enumerate(batch):
-                if it.want_payload and ser is not None:
-                    it.future.set_result(
-                        ser.serialize_query(
-                            col.slots[qi], col.vals[qi],
-                            col.emb[qi], col.lex[qi],
-                            floor=col.floor,
-                        )
-                    )
+                if it.want_payload and payloads is not None:
+                    done.append((it, payloads[qi]))
                 else:
-                    it.future.set_result(
-                        self.engine.results_from_columnar(col, qi)
+                    done.append(
+                        (it, self.engine.results_from_columnar(col, qi))
                     )
+            self._complete(done)
 
     def _execute_general(self, batch: List[_Item], top_k: int) -> None:
         diversity = batch[0].key[1]
@@ -336,5 +422,4 @@ class SearchBatcher:
             )
         # non-hot lanes resolve to objects even under want_payload; the
         # HTTP layer falls back to json.dumps for those
-        for it, res in zip(batch, results):
-            it.future.set_result(res)
+        self._complete(list(zip(batch, results)))

@@ -229,20 +229,24 @@ def build_app(ctx: AppContext) -> web.Application:
                 status=400, text="invalid rejection_cosine_floor"
             )
         try:
-            # enqueue straight into the batcher and await the future on
-            # the event loop — no executor-thread hop (single-core host:
-            # each thread handoff is measurable GIL churn). The rerank-off
-            # hot lane resolves to READY RESPONSE BYTES from the native
-            # serializer; other lanes resolve to SearchResult objects.
-            res = await asyncio.wrap_future(
-                ctx.batcher.submit(
-                    query, top_k, diversity, weights,
-                    rejection_threshold=rejection,
-                    use_reranker=use_reranker,
-                    want_payload=True,
-                    rejection_cosine_floor=cos_floor,
-                )
+            # enqueue straight into the batcher and await a loop-native
+            # future — no executor-thread hop, and the batcher resolves a
+            # whole batch of these with ONE call_soon_threadsafe (the
+            # per-request wrap_future wakeup was a self-pipe syscall each).
+            # The rerank-off hot lane resolves to READY RESPONSE BYTES from
+            # the native serializer; other lanes to SearchResult objects.
+            loop = asyncio.get_running_loop()
+            fut = loop.create_future()
+            ctx.batcher.submit(
+                query, top_k, diversity, weights,
+                rejection_threshold=rejection,
+                use_reranker=use_reranker,
+                want_payload=True,
+                rejection_cosine_floor=cos_floor,
+                afuture=fut,
+                loop=loop,
             )
+            res = await fut
         except Exception as e:  # noqa: BLE001
             logger.error("Search error: %s", e)
             return web.Response(status=500)

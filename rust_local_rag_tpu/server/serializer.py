@@ -54,6 +54,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.resp_serialize.restype = ctypes.c_int64
+        lib.resp_serialize_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.resp_serialize_batch.restype = ctypes.c_int64
     except AttributeError:
         return None
     lib._resp_ready = True
@@ -176,6 +190,62 @@ class ResponseSerializer:
             frag = self.meta_fragment(meta)
             self._lib.resp_register(self._h, slot, frag, len(frag))
             frag_ids[slot] = meta.id
+
+    def serialize_batch(
+        self,
+        slots: np.ndarray,   # [nq, k] int32
+        score: np.ndarray,   # [nq, k] f32 combined
+        emb: np.ndarray,     # [nq, k] f32 embedding score
+        lex: np.ndarray,     # [nq, k] f32 normalized lexical
+        floor: float = 0.0,
+    ) -> list:
+        """Serialize a whole batch in ONE ctypes crossing; returns a list
+        of per-query response-body bytes. The per-query path costs ~55 us
+        of Python/ctypes overhead each — at 512-query serving batches the
+        batch call amortizes that to ~0.1 us/query."""
+        store = self._store_getter()
+        if (
+            self._complete_for is None
+            or self._complete_for
+            != (id(store), getattr(store, "mutations", None))
+        ):
+            for row in slots:
+                self._ensure_fragments(row)
+        slots = np.ascontiguousarray(slots, dtype=np.int32)
+        score = np.ascontiguousarray(score, dtype=np.float32)
+        emb = np.ascontiguousarray(emb, dtype=np.float32)
+        lex = np.ascontiguousarray(lex, dtype=np.float32)
+        nq, k = slots.shape
+        lens = np.empty(nq, dtype=np.int64)
+        cap = getattr(self._tls, "bcap", 0)
+        need = nq * (k * 512 + 64)  # generous per-row bound
+        if cap < need:
+            cap = 1 << max(need - 1, 1).bit_length()
+            self._tls.bcap = cap
+            self._tls.bbuf = ctypes.create_string_buffer(cap)
+        while True:
+            wrote = self._lib.resp_serialize_batch(
+                self._h,
+                slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lex.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                nq,
+                k,
+                ctypes.c_float(floor),
+                self._tls.bbuf,
+                self._tls.bcap,
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if wrote >= 0:
+                blob = ctypes.string_at(self._tls.bbuf, wrote)
+                out, off = [], 0
+                for ln in lens.tolist():
+                    out.append(blob[off:off + ln])
+                    off += ln
+                return out
+            self._tls.bcap *= 2
+            self._tls.bbuf = ctypes.create_string_buffer(self._tls.bcap)
 
     def serialize_query(
         self,
