@@ -251,7 +251,16 @@ def main(argv: Optional[list] = None) -> int:
     )
 
     try:
-        web.run_app(app, host=host or "127.0.0.1", port=int(port), print=None)
+        if os.environ.get("RAG_TPU_HTTP_FASTPATH", "1") != "0":
+            # POST /search served by the hand-rolled protocol, all other
+            # routes by aiohttp on the same socket (server/fastpath.py)
+            from rust_local_rag_tpu.server.fastpath import serve
+
+            serve(app, ctx, host or "127.0.0.1", int(port))
+        else:
+            web.run_app(
+                app, host=host or "127.0.0.1", port=int(port), print=None
+            )
     except KeyboardInterrupt:
         pass
     finally:

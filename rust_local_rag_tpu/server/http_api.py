@@ -172,6 +172,56 @@ async def _in_executor(fn, *args):
     return await loop.run_in_executor(_executor(), fn, *args)
 
 
+def parse_search_params(body: dict):
+    """Validate a /search JSON body. Returns (params, None) on success or
+    (None, error_text) for a 400 — shared by the aiohttp handler and the
+    fast-path protocol (fastpath.py) so both answer identically."""
+    query = body.get("query", "")
+    try:
+        top_k = min(int(body.get("top_k", 5)), MAX_TOP_K)
+        diversity = float(body.get("diversity_factor", 0.3))
+    except (TypeError, ValueError):
+        return None, "invalid top_k/diversity_factor"
+    # json.loads accepts the NaN/Infinity literals, and NaN slides
+    # through a min/max clamp unchanged — reject like the MCP path
+    if not math.isfinite(diversity):
+        return None, "invalid top_k/diversity_factor"
+    diversity = min(max(diversity, 0.0), 1.0)
+    weights = (
+        QueryWeights.from_dict(body["weights"])
+        if isinstance(body.get("weights"), dict)
+        else None
+    )
+    # engine-level rejection + reranker toggle (framework extensions
+    # beyond the reference's API; defaults preserve reference behavior)
+    try:
+        rejection = body.get("rejection_threshold")
+        rejection = None if rejection is None else float(rejection)
+    except (TypeError, ValueError):
+        return None, "invalid rejection_threshold"
+    if rejection is not None and not math.isfinite(rejection):
+        return None, "invalid rejection_threshold"
+    use_reranker = body.get("use_reranker", True)
+    if not isinstance(use_reranker, bool):
+        return None, "invalid use_reranker"
+    try:
+        cos_floor = body.get("rejection_cosine_floor")
+        cos_floor = None if cos_floor is None else float(cos_floor)
+    except (TypeError, ValueError):
+        return None, "invalid rejection_cosine_floor"
+    if cos_floor is not None and not math.isfinite(cos_floor):
+        return None, "invalid rejection_cosine_floor"
+    return {
+        "query": query,
+        "top_k": top_k,
+        "diversity": diversity,
+        "weights": weights,
+        "rejection_threshold": rejection,
+        "use_reranker": use_reranker,
+        "rejection_cosine_floor": cos_floor,
+    }, None
+
+
 def build_app(ctx: AppContext) -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     mcp = McpHandler(ctx)
@@ -189,45 +239,9 @@ def build_app(ctx: AppContext) -> web.Application:
             body = await request.json()
         except json.JSONDecodeError:
             return web.Response(status=400, text="invalid JSON")
-        query = body.get("query", "")
-        try:
-            top_k = min(int(body.get("top_k", 5)), MAX_TOP_K)
-            diversity = float(body.get("diversity_factor", 0.3))
-        except (TypeError, ValueError):
-            return web.Response(status=400, text="invalid top_k/diversity_factor")
-        # json.loads accepts the NaN/Infinity literals, and NaN slides
-        # through a min/max clamp unchanged — reject like the MCP path
-        if not math.isfinite(diversity):
-            return web.Response(status=400, text="invalid top_k/diversity_factor")
-        diversity = min(max(diversity, 0.0), 1.0)
-        weights = (
-            QueryWeights.from_dict(body["weights"])
-            if isinstance(body.get("weights"), dict)
-            else None
-        )
-        # engine-level rejection + reranker toggle (framework extensions
-        # beyond the reference's API; defaults preserve reference behavior)
-        try:
-            rejection = body.get("rejection_threshold")
-            rejection = None if rejection is None else float(rejection)
-        except (TypeError, ValueError):
-            return web.Response(status=400, text="invalid rejection_threshold")
-        if rejection is not None and not math.isfinite(rejection):
-            return web.Response(status=400, text="invalid rejection_threshold")
-        use_reranker = body.get("use_reranker", True)
-        if not isinstance(use_reranker, bool):
-            return web.Response(status=400, text="invalid use_reranker")
-        try:
-            cos_floor = body.get("rejection_cosine_floor")
-            cos_floor = None if cos_floor is None else float(cos_floor)
-        except (TypeError, ValueError):
-            return web.Response(
-                status=400, text="invalid rejection_cosine_floor"
-            )
-        if cos_floor is not None and not math.isfinite(cos_floor):
-            return web.Response(
-                status=400, text="invalid rejection_cosine_floor"
-            )
+        params, err = parse_search_params(body)
+        if err is not None:
+            return web.Response(status=400, text=err)
         try:
             # enqueue straight into the batcher and await a loop-native
             # future — no executor-thread hop, and the batcher resolves a
@@ -238,11 +252,12 @@ def build_app(ctx: AppContext) -> web.Application:
             loop = asyncio.get_running_loop()
             fut = loop.create_future()
             ctx.batcher.submit(
-                query, top_k, diversity, weights,
-                rejection_threshold=rejection,
-                use_reranker=use_reranker,
+                params["query"], params["top_k"], params["diversity"],
+                params["weights"],
+                rejection_threshold=params["rejection_threshold"],
+                use_reranker=params["use_reranker"],
                 want_payload=True,
-                rejection_cosine_floor=cos_floor,
+                rejection_cosine_floor=params["rejection_cosine_floor"],
                 afuture=fut,
                 loop=loop,
             )

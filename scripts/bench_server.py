@@ -242,7 +242,11 @@ def measure_server_qps(
         if not quiet:
             print(msg, flush=True)
 
-    os.environ.setdefault("RAG_TPU_BATCH_MAX", str(max(clients, 128)))
+    # admit batches as large as the biggest swept client count — the
+    # fused bf16 kernel takes batches up to 512, and on a single-core
+    # host batch amortization is the whole serving game
+    max_cl = max(clients, 384)
+    os.environ.setdefault("RAG_TPU_BATCH_MAX", str(min(max_cl, 512)))
     os.environ.setdefault("RAG_TPU_BATCH_WINDOW_MS", "5")
     # high-QPS serving config: bf16 corpus slab (documented mode, matches
     # the kernel bench) — the fused kernel then admits batches up to 512;
@@ -272,13 +276,21 @@ def measure_server_qps(
         started = threading.Event()
 
         def run():
+            from rust_local_rag_tpu.server.fastpath import FastPathProtocol
+
             loop = asyncio.new_event_loop()
             loop_holder["loop"] = loop
             asyncio.set_event_loop(loop)
             runner = web.AppRunner(app, access_log=None)
             loop.run_until_complete(runner.setup())
-            site = web.TCPSite(runner, "127.0.0.1", port)
-            loop.run_until_complete(site.start())
+            # shipped serving config: fast-path protocol on the socket
+            # (app.py serves the same way)
+            loop.run_until_complete(
+                loop.create_server(
+                    lambda: FastPathProtocol(runner.server, ctx, loop),
+                    "127.0.0.1", port,
+                )
+            )
             started.set()
             loop.run_forever()
 
@@ -292,7 +304,7 @@ def measure_server_qps(
         # compile stall.
         t0 = time.monotonic()
         b = 1
-        while b <= max(clients, 128):
+        while b <= min(max_cl, 512):
             eng.search_batch(
                 [f"warm bucket {b} q{i}" for i in range(b)],
                 top_k,
@@ -350,7 +362,8 @@ def measure_server_qps(
             eng_lane[key] = round(reps * qb / (time.perf_counter() - t0), 1)
             log(f"engine batch {qb} top_k {kk}: {eng_lane[key]} qps")
 
-        # pipelined columnar lane: dispatch batch N+1 before fetching N
+        # pipelined columnar lane: dispatch batch N+1 before fetching N,
+        # batch-serialize (ONE ctypes crossing per batch)
         from rust_local_rag_tpu.server.serializer import ResponseSerializer
 
         ser = ResponseSerializer(lambda: eng.store)
@@ -364,11 +377,10 @@ def measure_server_qps(
             for _ in range(reps - 1):
                 nxt = eng.dispatch_search(probe, top_k)
                 col = eng.fetch_columnar(pend)
-                for qi in range(qb):
-                    ser.serialize_query(
-                        col.slots[qi], col.vals[qi], col.emb[qi],
-                        col.lex[qi], floor=col.floor,
-                    )
+                ser.serialize_batch(
+                    col.slots[:qb], col.vals[:qb], col.emb[:qb],
+                    col.lex[:qb], floor=col.floor,
+                )
                 pend = nxt
             col = eng.fetch_columnar(pend)
             key = f"engine_pipelined{qb}_top{top_k}_qps"
@@ -377,25 +389,44 @@ def measure_server_qps(
             )
             log(f"engine pipelined {qb} top_k {top_k}: {eng_lane[key]} qps")
 
-        # HTTP rerank-off lane at the headline shape (top_k=100)
-        d = _run_client(port, clients, duration_s, top_k, rerank=False)
-        lat_ms = sorted(d["lats"])
-        p = lambda f: lat_ms[int(f * (len(lat_ms) - 1))] if lat_ms else None
+        # HTTP rerank-off lane at the headline shape (top_k=100): sweep
+        # client counts — on a single-core host the only serving lever is
+        # batch amortization, and closed-loop client count sets the batch
+        # size the anti-convoy batcher can reach. Headline = best point.
+        sweep = {}
+        best = None
+        for cl in sorted({clients, 256, 384}):
+            d = _run_client(port, cl, duration_s, top_k, rerank=False)
+            lat_ms = sorted(d["lats"])
+            p = lambda f: (
+                lat_ms[int(f * (len(lat_ms) - 1))] if lat_ms else None
+            )
+            pt = {
+                "qps": round(d["n"] / d["elapsed"], 1),
+                "requests": d["n"],
+                "latency_p50_ms": round(p(0.50), 1) if lat_ms else None,
+                "latency_p95_ms": round(p(0.95), 1) if lat_ms else None,
+            }
+            sweep[f"clients{cl}"] = pt
+            log(f"server e2e (rerank-off, top_k={top_k}, "
+                f"clients={cl}): {pt['qps']} qps (p50 "
+                f"{pt['latency_p50_ms']} ms)")
+            if best is None or pt["qps"] > best[1]["qps"]:
+                best = (cl, pt)
         result = {
-            "server_e2e_qps": round(d["n"] / d["elapsed"], 1),
+            "server_e2e_qps": best[1]["qps"],
             "corpus_dtype": os.environ.get("RAG_TPU_CORPUS_DTYPE", "f32"),
             "n_chunks": len(eng.store),
             "top_k": top_k,
-            "clients": clients,
-            "requests": d["n"],
-            "latency_p50_ms": round(p(0.50), 1) if lat_ms else None,
-            "latency_p95_ms": round(p(0.95), 1) if lat_ms else None,
+            "clients": best[0],
+            "requests": best[1]["requests"],
+            "latency_p50_ms": best[1]["latency_p50_ms"],
+            "latency_p95_ms": best[1]["latency_p95_ms"],
+            "client_sweep": sweep,
             "lexical_content_us_per_query": round(lex_content_us, 1),
             "lexical_head_us_per_query": round(lex_head_us, 1),
             **eng_lane,
         }
-        log(f"server e2e (rerank-off, top_k={top_k}): "
-            f"{result['server_e2e_qps']} qps")
 
         if with_rerank_lane and eng.has_reranker():
             # shipped quality config: judge gate (weight 0.0 + floor 0.06),
@@ -404,7 +435,7 @@ def measure_server_qps(
 
             gate_w = QueryWeights(reranker=0.0, initial=1.0)
             b = 1
-            while b <= max(clients, 128):  # warm every coalesce bucket
+            while b <= min(max_cl, 512):  # warm every coalesce bucket
                 eng.search_batch(
                     queries[:b], 5, gate_w, use_reranker=True,
                     rejection_threshold=0.06,

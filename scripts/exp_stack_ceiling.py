@@ -172,13 +172,23 @@ def main():
         started = threading.Event()
 
         def run():
+            from rust_local_rag_tpu.server.fastpath import FastPathProtocol
+
             loop = asyncio.new_event_loop()
             loop_holder["loop"] = loop
             asyncio.set_event_loop(loop)
             runner = web.AppRunner(app, access_log=None)
             loop.run_until_complete(runner.setup())
-            site = web.TCPSite(runner, "127.0.0.1", port)
-            loop.run_until_complete(site.start())
+            if os.environ.get("STACK_FASTPATH", "1") != "0":
+                loop.run_until_complete(
+                    loop.create_server(
+                        lambda: FastPathProtocol(runner.server, ctx, loop),
+                        "127.0.0.1", port,
+                    )
+                )
+            else:
+                site = web.TCPSite(runner, "127.0.0.1", port)
+                loop.run_until_complete(site.start())
             started.set()
             loop.run_forever()
 

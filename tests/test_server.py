@@ -79,12 +79,21 @@ class ServerFixture:
         started = threading.Event()
 
         def run():
+            # serve through the fast-path protocol — the shipped config
+            # (app.py default) — so every server test exercises it
+            from rust_local_rag_tpu.server.fastpath import FastPathProtocol
+
             self._loop = asyncio.new_event_loop()
             asyncio.set_event_loop(self._loop)
             runner = web.AppRunner(app)
             self._loop.run_until_complete(runner.setup())
-            site = web.TCPSite(runner, "127.0.0.1", self.port)
-            self._loop.run_until_complete(site.start())
+            loop = self._loop
+            self._loop.run_until_complete(
+                loop.create_server(
+                    lambda: FastPathProtocol(runner.server, self.ctx, loop),
+                    "127.0.0.1", self.port,
+                )
+            )
             started.set()
             self._loop.run_forever()
 
