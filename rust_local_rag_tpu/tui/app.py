@@ -42,6 +42,7 @@ class AppState:
     settings_selected: int = 0
     settings_editing: bool = False
     settings_edit_buffer: str = ""
+    settings_cursor: int = 0  # char index into the edit buffer (ui.rs cursor block)
     theme_name: str = "default"
     quit: bool = False
 

@@ -189,9 +189,10 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
 
     nrows = len(SETTING_KEYS)
     if state.settings_editing:
+        buf, cur = state.settings_edit_buffer, state.settings_cursor
         if ch in (curses.KEY_ENTER, 10, 13):
             key = SETTING_KEYS[state.settings_selected][0]
-            err = ctl.settings.set(key, state.settings_edit_buffer)
+            err = ctl.settings.set(key, buf)
             state.status_line = err or f"{key} updated (Ctrl-S to save)"
             # hard validation errors keep the editor open for correction;
             # warnings were applied (settings.rs Warning semantics)
@@ -200,9 +201,23 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
         elif ch == 27:
             state.settings_editing = False
         elif ch in (curses.KEY_BACKSPACE, 127, 8):
-            state.settings_edit_buffer = state.settings_edit_buffer[:-1]
+            if cur > 0:
+                state.settings_edit_buffer = buf[: cur - 1] + buf[cur:]
+                state.settings_cursor = cur - 1
+        elif ch == curses.KEY_DC:  # Delete: remove char AT cursor
+            if cur < len(buf):
+                state.settings_edit_buffer = buf[:cur] + buf[cur + 1 :]
+        elif ch == curses.KEY_LEFT:
+            state.settings_cursor = max(0, cur - 1)
+        elif ch == curses.KEY_RIGHT:
+            state.settings_cursor = min(len(buf), cur + 1)
+        elif ch in (curses.KEY_HOME, 1):  # Home / Ctrl-A
+            state.settings_cursor = 0
+        elif ch in (curses.KEY_END, 5):  # End / Ctrl-E
+            state.settings_cursor = len(buf)
         elif 32 <= ch < 127:
-            state.settings_edit_buffer += chr(ch)
+            state.settings_edit_buffer = buf[:cur] + chr(ch) + buf[cur:]
+            state.settings_cursor = cur + 1
         return
     if ch == 27:
         state.update(Msg("back"))
@@ -235,6 +250,7 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
     elif ch in (curses.KEY_ENTER, 10, 13):
         key = SETTING_KEYS[state.settings_selected][0]
         state.settings_edit_buffer = ctl.settings.get(key)
+        state.settings_cursor = len(state.settings_edit_buffer)
         state.settings_editing = True
     elif ch == 19:  # Ctrl-S
         try:
@@ -255,7 +271,51 @@ def _osc52_copy(text: str) -> None:
     sys.stdout.flush()
 
 
+# escape-sequence tails -> curses keys, for sequences that arrive SPLIT
+# from their ESC byte (laggy SSH / pty): in nodelay mode curses hands us a
+# bare 27 and then the tail as individual chars, which without this would
+# quit the app and type "[B" into the search box.
+_ESC_TAILS = {
+    "[A": curses.KEY_UP, "OA": curses.KEY_UP,
+    "[B": curses.KEY_DOWN, "OB": curses.KEY_DOWN,
+    "[C": curses.KEY_RIGHT, "OC": curses.KEY_RIGHT,
+    "[D": curses.KEY_LEFT, "OD": curses.KEY_LEFT,
+    "[H": curses.KEY_HOME, "OH": curses.KEY_HOME, "[1~": curses.KEY_HOME,
+    "[F": curses.KEY_END, "OF": curses.KEY_END, "[4~": curses.KEY_END,
+    "[3~": curses.KEY_DC,
+    "OP": curses.KEY_F1, "[11~": curses.KEY_F1,
+    "OQ": curses.KEY_F2, "[12~": curses.KEY_F2,
+}
+
+
+def _resolve_escape(stdscr) -> int:
+    """Called after a bare ESC (27) in nodelay mode: wait briefly for a
+    sequence tail; return the mapped key, 27 for a genuine lone ESC, or -1
+    for an unrecognized sequence (swallowed, not typed into the query)."""
+    time.sleep(0.03)
+    tail = ""
+    while len(tail) < 8:
+        nxt = stdscr.getch()
+        if nxt == -1:
+            break
+        if 32 <= nxt < 127:
+            tail += chr(nxt)
+            if tail in _ESC_TAILS:
+                return _ESC_TAILS[tail]
+        else:
+            return -1  # non-ASCII mid-sequence: drop it
+    if not tail:
+        return 27  # genuine lone ESC
+    return -1
+
+
 def run(stdscr, base_url: str, env_path: str) -> None:
+    # raw mode (not just cbreak): with IXON left on, the terminal driver
+    # swallows Ctrl-S as XOFF and the save binding never reaches the app
+    # (the reference's crossterm raw mode disables flow control the same
+    # way). Ctrl-C stops sending SIGINT under raw, but the keymap handles
+    # ch==3 as quit itself.
+    curses.raw()
     curses.curs_set(1)
     stdscr.nodelay(True)
     stdscr.keypad(True)
@@ -278,6 +338,8 @@ def run(stdscr, base_url: str, env_path: str) -> None:
             ui.draw(stdscr, state, settings, get_theme(state.theme_name))
 
             ch = stdscr.getch()
+            if ch == 27:
+                ch = _resolve_escape(stdscr)
             if ch != -1:
                 _handle_key(ch, state, ctl)
             else:

@@ -32,6 +32,12 @@ _WEIGHT_KEYS = {
     "RAG_INITIAL_SCORE_WEIGHT",
 }
 
+# Server-side keys are read once at startup (config.py caches weights the
+# way the reference's OnceLock does, rag_engine.rs:1807-1841), so editing
+# them only takes effect after a restart; mirrors the reference Setting's
+# requires_restart flag (settings.rs:53-55).
+REQUIRES_RESTART = {k for k, _ in SETTING_KEYS} - {"RAG_TUI_SERVER_URL"}
+
 _DIR_KEYS = {"DATA_DIR", "DOCUMENTS_DIR"}
 _FILE_KEYS = {"ENCODER_WEIGHTS", "RERANKER_WEIGHTS"}
 
@@ -115,6 +121,7 @@ class Settings:
     path: str = ".env"
     values: Dict[str, str] = field(default_factory=dict)
     _lines: List[str] = field(default_factory=list)
+    _saved: Dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def load(cls, path: str = ".env") -> "Settings":
@@ -130,7 +137,16 @@ class Settings:
                 continue
             key, _, val = stripped.partition("=")
             s.values[key.strip()] = val.strip().strip("\"'")
+        s._saved = dict(s.values)
         return s
+
+    def is_modified(self, key: str) -> bool:
+        """True when the in-editor value differs from what the .env file
+        holds (reference Setting::is_modified, settings.rs:88-90)."""
+        return self.values.get(key, "") != self._saved.get(key, "")
+
+    def requires_restart(self, key: str) -> bool:
+        return key in REQUIRES_RESTART
 
     def get(self, key: str) -> str:
         return self.values.get(key, os.environ.get(key, ""))
@@ -175,6 +191,7 @@ class Settings:
             f.write("\n".join(out) + ("\n" if out else ""))
         os.replace(tmp, self.path)
         self._lines = out
+        self._saved = dict(self.values)  # mark_saved (settings.rs:98-100)
 
     def rows(self) -> List[Tuple[str, str, str]]:
         """(key, description, current value) for the editor."""

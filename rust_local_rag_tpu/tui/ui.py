@@ -181,26 +181,54 @@ def _draw_help(stdscr, theme: Theme, h: int, w: int) -> None:
 def _draw_settings(
     stdscr, state: AppState, settings: Settings, theme: Theme, h: int, w: int
 ) -> None:
+    from rust_local_rag_tpu.tui.settings import validate
+
     _safe_add(stdscr, 3, 1, "Settings (.env)", _attr(theme.accent, bold=True))
     for i, (key, desc, value) in enumerate(settings.rows()):
         y = 5 + i
         sel = i == state.settings_selected
         marker = "▶" if sel else " "
-        shown = (
-            state.settings_edit_buffer + "▏"
-            if sel and state.settings_editing
-            else value or "(unset)"
-        )
-        _safe_add(
-            stdscr, y, 1,
-            f"{marker} {key:28s} {shown}",
-            _attr(theme.highlight, bold=True) if sel else _attr(theme.dim),
-        )
+        name_attr = _attr(theme.highlight, bold=True) if sel else _attr(theme.dim)
+        _safe_add(stdscr, y, 1, f"{marker} {key:28s} ", name_attr)
+        vx = 1 + len(f"{marker} {key:28s} ")
+        if sel and state.settings_editing:
+            # edit buffer with a block cursor at settings_cursor
+            # (reference renders before/at/after spans, ui.rs:576-610)
+            buf, cur = state.settings_edit_buffer, state.settings_cursor
+            _safe_add(stdscr, y, vx, buf[:cur], _attr(theme.highlight, bold=True))
+            at = buf[cur] if cur < len(buf) else " "
+            _safe_add(stdscr, y, vx + cur, at, curses.A_REVERSE)
+            _safe_add(
+                stdscr, y, vx + cur + 1, buf[cur + 1 :],
+                _attr(theme.highlight, bold=True),
+            )
+        else:
+            # validation-aware value coloring + modified / restart markers
+            # (ui.rs:612-667)
+            verdict = validate(key, value) if value else None
+            modified = settings.is_modified(key)
+            if verdict is not None and verdict[0] == "error":
+                vattr, indicator = _attr(theme.error, bold=sel), " ✗"
+            elif verdict is not None:
+                vattr, indicator = _attr("yellow", bold=sel), " ⚠"
+            else:
+                vattr = _attr("yellow" if modified else theme.ok, bold=sel)
+                indicator = ""
+            tail = indicator + (" *" if modified else "")
+            if modified and settings.requires_restart(key):
+                tail += " (restart)"
+            _safe_add(stdscr, y, vx, (value or "(unset)") + tail, vattr)
         if sel:
-            _safe_add(stdscr, h - 3, 1, desc, _attr(theme.dim))
+            line = desc
+            verdict = validate(key, value) if value else None
+            if verdict is not None:
+                mark = "✗" if verdict[0] == "error" else "⚠"
+                line += f"   {mark} {verdict[1]}"
+            _safe_add(stdscr, h - 3, 1, line, _attr(theme.dim))
     _safe_add(
         stdscr, h - 2, 1,
-        "Enter edit/apply · Ctrl-S save .env · Esc back", _attr(theme.dim),
+        "Enter edit/apply · ←/→ cycle choices · Ctrl-S save .env · Esc back",
+        _attr(theme.dim),
     )
 
 

@@ -282,3 +282,55 @@ def test_choices_for_key(monkeypatch, tmp_path):
     assert "fake-rr" in rr and "" in rr
     enc = discovery.choices_for_key("ENCODER_WEIGHTS")
     assert enc[-1] == ""  # explicit clear option
+
+
+# ----- settings fidelity: modified tracking, restart flags, cursor editing -----
+
+def test_settings_modified_tracking_and_save(tmp_path):
+    env = tmp_path / ".env"
+    env.write_text("RAG_EMBEDDING_WEIGHT=0.7\n")
+    s = Settings.load(str(env))
+    assert not s.is_modified("RAG_EMBEDDING_WEIGHT")
+    s.set("RAG_EMBEDDING_WEIGHT", "0.9")
+    assert s.is_modified("RAG_EMBEDDING_WEIGHT")
+    s.set("RAG_EMBEDDING_WEIGHT", "0.7")  # back to original -> unmodified
+    assert not s.is_modified("RAG_EMBEDDING_WEIGHT")
+    s.set("RAG_EMBEDDING_WEIGHT", "0.9")
+    s.save()  # mark_saved semantics (settings.rs:98-100)
+    assert not s.is_modified("RAG_EMBEDDING_WEIGHT")
+
+
+def test_settings_requires_restart_flags():
+    s = Settings()
+    assert s.requires_restart("MCP_HTTP_BIND")
+    assert s.requires_restart("RAG_EMBEDDING_WEIGHT")  # OnceLock-cached server-side
+    assert not s.requires_restart("RAG_TUI_SERVER_URL")  # client-only
+
+
+def test_settings_edit_cursor_insert_delete():
+    import curses
+
+    from rust_local_rag_tpu.tui.main import _handle_settings_key
+
+    class _Ctl:
+        settings = Settings()
+
+    st = AppState()
+    st.mode = Mode.SETTINGS
+    st.settings_editing = True
+    st.settings_edit_buffer = "abc"
+    st.settings_cursor = 1
+    _handle_settings_key(ord("X"), st, _Ctl())  # insert at cursor
+    assert st.settings_edit_buffer == "aXbc" and st.settings_cursor == 2
+    _handle_settings_key(curses.KEY_BACKSPACE, st, _Ctl())  # delete before cursor
+    assert st.settings_edit_buffer == "abc" and st.settings_cursor == 1
+    _handle_settings_key(curses.KEY_DC, st, _Ctl())  # delete AT cursor
+    assert st.settings_edit_buffer == "ac" and st.settings_cursor == 1
+    _handle_settings_key(curses.KEY_HOME, st, _Ctl())
+    assert st.settings_cursor == 0
+    _handle_settings_key(curses.KEY_END, st, _Ctl())
+    assert st.settings_cursor == 2
+    _handle_settings_key(curses.KEY_LEFT, st, _Ctl())
+    assert st.settings_cursor == 1
+    _handle_settings_key(curses.KEY_RIGHT, st, _Ctl())
+    assert st.settings_cursor == 2
