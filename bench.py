@@ -300,13 +300,9 @@ def main() -> None:
         nch, el_full, t_chunk, t_tok = run_pipeline()
         if nch:
             # compute roofline for the measured encoder at this bucket
-            def _tree_params(p):
-                return sum(
-                    _tree_params(v) if isinstance(v, dict) else v.size
-                    for v in (p.values() if isinstance(p, dict) else p)
-                )
-
-            n_par = _tree_params(params)
+            n_par = sum(
+                leaf.size for leaf in jax.tree_util.tree_leaves(params)
+            )
             flops_chunk = 2 * n_par * L + (
                 4 * cfg.depth * cfg.dim * L * L  # attention scores+context
             )

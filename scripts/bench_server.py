@@ -273,6 +273,7 @@ def measure_server_qps(
         import asyncio
 
         loop_holder = {}
+        runner_holder = {}
         started = threading.Event()
 
         def run():
@@ -282,6 +283,7 @@ def measure_server_qps(
             loop_holder["loop"] = loop
             asyncio.set_event_loop(loop)
             runner = web.AppRunner(app, access_log=None)
+            runner_holder["runner"] = runner
             loop.run_until_complete(runner.setup())
             # shipped serving config: fast-path protocol on the socket
             # (app.py serves the same way)
@@ -293,6 +295,7 @@ def measure_server_qps(
             )
             started.set()
             loop.run_forever()
+            loop.close()
 
         srv = threading.Thread(target=run, daemon=True)
         srv.start()
@@ -464,7 +467,21 @@ def measure_server_qps(
             log(f"server e2e (judge gate on, top_k=5): "
                 f"{result['server_e2e_rerank_on_top5_qps']} qps")
 
-        loop_holder["loop"].call_soon_threadsafe(loop_holder["loop"].stop)
+        # clean teardown: run the app's cleanup contexts (cancels the
+        # supervisor watchdog + job-pusher tasks) BEFORE stopping the
+        # loop — a bare loop.stop() leaks them ("Task was destroyed but
+        # it is pending!", VERDICT r3 weak #5)
+        loop = loop_holder["loop"]
+
+        async def _shutdown():
+            await runner_holder["runner"].cleanup()
+
+        try:
+            asyncio.run_coroutine_threadsafe(_shutdown(), loop).result(15)
+        except Exception:  # noqa: BLE001 — teardown must not mask results
+            pass
+        loop.call_soon_threadsafe(loop.stop)
+        srv.join(timeout=10)
         ctx.batcher.stop()
         sup.stop(timeout=5.0)
         return result

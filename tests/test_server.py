@@ -86,6 +86,7 @@ class ServerFixture:
             self._loop = asyncio.new_event_loop()
             asyncio.set_event_loop(self._loop)
             runner = web.AppRunner(app)
+            self._runner = runner
             self._loop.run_until_complete(runner.setup())
             loop = self._loop
             self._loop.run_until_complete(
@@ -96,6 +97,7 @@ class ServerFixture:
             )
             started.set()
             self._loop.run_forever()
+            self._loop.close()
 
         self._thread = threading.Thread(target=run, daemon=True)
         self._thread.start()
@@ -112,7 +114,23 @@ class ServerFixture:
 
     def stop(self):
         self.sup.stop(timeout=2)
+        # tasks (other than the cleanup coroutine itself) still pending
+        # AFTER the app's cleanup contexts ran; anything here would become
+        # asyncio's "Task was destroyed but it is pending!" on loop close
+        self.pending_after_cleanup = None
         if self._loop:
+
+            async def _cleanup():
+                await self._runner.cleanup()
+                cur = asyncio.current_task()
+                return [t for t in asyncio.all_tasks() if t is not cur]
+
+            try:
+                self.pending_after_cleanup = asyncio.run_coroutine_threadsafe(
+                    _cleanup(), self._loop
+                ).result(10)
+            except Exception:  # noqa: BLE001 — stop() must not raise
+                pass
             self._loop.call_soon_threadsafe(self._loop.stop)
         if self._thread:
             self._thread.join(timeout=5)
@@ -457,6 +475,28 @@ def test_supervisor_watchdog_quiet_on_intentional_stop(tmp_path, monkeypatch):
     srv.app["watchdog_escalate"] = fired.set
     srv.stop()  # intentional: sets _stopping before the thread exits
     assert not fired.wait(1), "watchdog fired on intentional stop"
+
+
+def test_server_teardown_leaves_no_pending_tasks(tmp_path):
+    """Shutdown must not orphan the supervisor-watchdog / job-pusher tasks:
+    after app cleanup runs, zero tasks remain on the loop (the BENCH_r02
+    tail showed 'Task was destroyed but it is pending!' from exactly this,
+    VERDICT r3 weak #5). Exercises the full lifecycle including a search
+    and a reindex so both background-task spawners are live."""
+    srv = ServerFixture(tmp_path, with_reranker=False)
+    srv.start()
+    try:
+        jr = srv.reindex_and_wait()
+        assert jr["status"] == "completed"
+        r = requests.post(
+            f"{srv.base}/search", json={"query": "telescopes", "top_k": 3}
+        )
+        assert r.status_code == 200
+    finally:
+        srv.stop()
+    assert srv.pending_after_cleanup == [], (
+        f"tasks still pending after app cleanup: {srv.pending_after_cleanup}"
+    )
 
 
 def test_mcp_get_endpoint_405(server):
