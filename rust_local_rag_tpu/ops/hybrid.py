@@ -294,20 +294,26 @@ def hybrid_topk_packed(
     w_lexical: jax.Array,
     k: int,
 ):
-    """hybrid_topk with the four outputs PACKED into one [Q, 4, k] f32
-    array (idx bitcast to f32). Through a remote-attached TPU every
-    device->host fetch pays a full RPC round trip (~40-50 ms measured on
-    the axon tunnel); fetching four arrays separately quadruples that.
-    Channels: 0=combined, 1=embedding, 2=lexical_norm, 3=bitcast(int32 idx).
+    """hybrid_topk with the four outputs PACKED into one [Q, 4, k] INT32
+    array (float planes bitcast to int32). Through a remote-attached TPU
+    every device->host fetch pays a full RPC round trip (~40-50 ms measured
+    on the axon tunnel); fetching four arrays separately quadruples that.
+    Channels: 0=bits(combined), 1=bits(embedding), 2=bits(lexical_norm),
+    3=int32 idx.
+
+    The pack rides an INTEGER array on purpose: the int-in-float variant
+    (bitcast idx into an f32 plane) is corrupted on the axon TPU backend —
+    the fused program flushes denormal f32 lanes to zero (slot ids < ~8.4M
+    are denormal bit patterns) and canonicalizes 0xFFFFFFFF (-1 sentinel)
+    to qNaN 0x7FC00000, so every slot came back 0. Float bits stored in
+    int32 lanes only pass through copies/concats, which are bit-exact.
     """
     vals, emb_k, lex_k, idx = hybrid_topk.__wrapped__(
         queries, corpus, valid_mask, lex_slots, lex_vals,
         w_embedding, w_lexical, k,
     )
-    return jnp.stack(
-        [vals, emb_k, lex_k, jax.lax.bitcast_convert_type(idx, jnp.float32)],
-        axis=1,
-    )
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+    return jnp.stack([bits(vals), bits(emb_k), bits(lex_k), idx], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "candidates"))
@@ -325,35 +331,34 @@ def hybrid_topk_quantized_packed(
     candidates: int = 0,
 ):
     """Packed single-fetch variant of hybrid_topk_quantized (see
-    hybrid_topk_packed for the channel layout and rationale). Channel 4
-    broadcasts the per-query exactness certificate (1.0 = certified)."""
+    hybrid_topk_packed for the channel layout and the int32-carrier
+    rationale). Channel 4 broadcasts the per-query exactness certificate
+    (1 = certified) as plain int32."""
     vals, emb_k, lex_k, idx, exact = hybrid_topk_quantized.__wrapped__(
         queries, values, scales, l1, valid_mask, lex_slots, lex_vals,
         w_embedding, w_lexical, k, candidates=candidates,
     )
-    flag = jnp.broadcast_to(
-        exact.astype(jnp.float32)[:, None], vals.shape
-    )
+    flag = jnp.broadcast_to(exact.astype(jnp.int32)[:, None], vals.shape)
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
     return jnp.stack(
-        [
-            vals, emb_k, lex_k,
-            jax.lax.bitcast_convert_type(idx, jnp.float32),
-            flag,
-        ],
-        axis=1,
+        [bits(vals), bits(emb_k), bits(lex_k), idx, flag], axis=1
     )
 
 
 def unpack_topk(arr, nq: int, k: int):
-    """Host-side unpack of a fetched [Q, 4, k'] packed result into
-    (vals, emb, lex, idx int32) numpy views trimmed to [nq, k]."""
+    """Host-side unpack of a fetched [Q, 4|5, k'] packed int32 result into
+    (vals, emb, lex, idx) numpy views trimmed to [nq, k] — the float planes
+    are reinterpreted from their int32 bit carriers (see
+    hybrid_topk_packed)."""
     import numpy as np
 
-    arr = np.asarray(arr)
-    vals = arr[:nq, 0, :k]
-    emb = arr[:nq, 1, :k]
-    lex = arr[:nq, 2, :k]
-    idx = arr[:, 3, :].view(np.int32)[:nq, :k]
+    arr = np.ascontiguousarray(np.asarray(arr))
+    assert arr.dtype == np.int32, arr.dtype
+    f = arr.view(np.float32)
+    vals = f[:nq, 0, :k]
+    emb = f[:nq, 1, :k]
+    lex = f[:nq, 2, :k]
+    idx = arr[:nq, 3, :k]
     return vals, emb, lex, idx
 
 

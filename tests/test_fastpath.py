@@ -71,6 +71,61 @@ class TestPackedParity:
         np.testing.assert_array_equal(lex, l2)
         np.testing.assert_array_equal(exact, packed[:, 4, 0] > 0.5)
 
+    def test_packed_carrier_is_int32(self):
+        """The pack must ride an INTEGER array: f32 lanes holding bitcast
+        int32 slot ids are corrupted by the axon TPU backend (denormal
+        slot-id bit patterns flushed to zero, -1 sentinels canonicalized
+        to qNaN), which made every served result render slot 0's chunk.
+        Integer copies/concats are bit-exact on every backend."""
+        q, c, mask, ls, lv = _inputs()
+        args = (
+            jnp.asarray(q), jnp.asarray(c), jnp.asarray(mask),
+            jnp.asarray(ls), jnp.asarray(lv),
+            jnp.float32(0.7), jnp.float32(0.3),
+        )
+        packed = np.asarray(hybrid_topk_packed(*args, 16))
+        assert packed.dtype == np.int32
+
+        absmax = np.maximum(np.abs(c).max(axis=1, keepdims=True), 1e-10)
+        scales = (absmax / 127.0).astype(np.float32)
+        values = np.clip(np.round(c / scales), -127, 127).astype(np.int8)
+        l1 = scales[:, 0] * np.abs(values).astype(np.float32).sum(axis=1)
+        qargs = (
+            jnp.asarray(q), jnp.asarray(values), jnp.asarray(scales),
+            jnp.asarray(l1), jnp.asarray(mask), jnp.asarray(ls),
+            jnp.asarray(lv), jnp.float32(0.7), jnp.float32(0.3),
+        )
+        qpacked = np.asarray(hybrid_topk_quantized_packed(*qargs, 16))
+        assert qpacked.dtype == np.int32
+
+    def test_packed_sentinels_and_small_slots_survive(self):
+        """Regression for the TPU slot-plane corruption: a mostly-masked
+        slab (4 valid rows in a 1024-slot capacity, the live-server shape
+        that failed) must round-trip small slot ids AND -1 tail sentinels
+        through the packed fetch."""
+        rng = np.random.default_rng(7)
+        n, d, k = 1024, 32, 8
+        c = np.zeros((n, d), np.float32)
+        c[:4] = rng.standard_normal((4, d)).astype(np.float32)
+        c[:4] /= np.linalg.norm(c[:4], axis=1, keepdims=True)
+        q = rng.standard_normal((2, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        mask = np.zeros(n, bool)
+        mask[:4] = True
+        ls = np.full((2, 16), -1, np.int32)
+        lv = np.zeros((2, 16), np.float32)
+        args = (
+            jnp.asarray(q), jnp.asarray(c), jnp.asarray(mask),
+            jnp.asarray(ls), jnp.asarray(lv),
+            jnp.float32(1.0), jnp.float32(0.0),
+        )
+        vals, emb, lex, idx = (np.asarray(x) for x in hybrid_topk(*args, k))
+        v2, e2, l2, i2 = unpack_topk(hybrid_topk_packed(*args, k), 2, k)
+        np.testing.assert_array_equal(idx, i2)
+        assert set(i2[0, :4]) == {0, 1, 2, 3}
+        np.testing.assert_array_equal(i2[:, 4:], -1)
+        np.testing.assert_array_equal(vals, v2)
+
     def test_unpack_trims_padded_rows(self):
         q, c, mask, ls, lv = _inputs(nq=8)
         packed = hybrid_topk_packed(
