@@ -260,4 +260,69 @@ int64_t resp_serialize_batch(void* h, const int32_t* slots,
     return (int64_t)(p - out);
 }
 
+// Judge-gated batch serialization (the shipped quality config: reranker
+// blend weight 0, judge yes-probability as a rejection floor). Same layout
+// as resp_serialize_batch plus three parallel [nq, k] arrays: `initial`
+// (raw combined first-stage score), `rr` (judge yes-probability) and the
+// yes/no logprobs. `score` carries the blend-normalized value the object
+// lane computes (initial_w * initial / max_initial). Gate semantics mirror
+// RagEngine._keep for judged rows: drop when rr < rr_floor (rr_floor > 0)
+// OR emb < emb_floor (emb_floor > 0). Rows with slot < 0 or non-finite
+// initial are padding and skipped.
+int64_t resp_serialize_batch_rr(void* h, const int32_t* slots,
+                                const float* score, const float* emb,
+                                const float* lex, const float* initial,
+                                const float* rr, const float* yes_lp,
+                                const float* no_lp, int64_t nq, int64_t k,
+                                float emb_floor, float rr_floor, char* out,
+                                int64_t out_cap, int64_t* out_lens) {
+    Registry* reg = (Registry*)h;
+    std::shared_lock<std::shared_mutex> lk(reg->mu);
+    char* p = out;
+    char* end = out + out_cap;
+    for (int64_t q = 0; q < nq; q++) {
+        char* q_start = p;
+        if (p + 15 > end) return -1;
+        std::memcpy(p, "{\"results\": [", 13);
+        p += 13;
+        bool first = true;
+        const int64_t off = q * k;
+        for (int64_t i = 0; i < k; i++) {
+            int32_t slot = slots[off + i];
+            if (slot < 0 || !std::isfinite(initial[off + i])) continue;
+            if (rr_floor > 0.0f && rr[off + i] < rr_floor) continue;
+            if (emb_floor > 0.0f && emb[off + i] < emb_floor) continue;
+            const std::string* frag = reg->find((int64_t)slot);
+            if (frag == nullptr) continue;
+            // fragment + 7 floats (<=32 chars each) + keys
+            if (p + frag->size() + 384 > end) return -1;
+            if (!first) { *p++ = ','; *p++ = ' '; }
+            first = false;
+            *p++ = '{';
+            std::memcpy(p, frag->data(), frag->size());
+            p += frag->size();
+            std::memcpy(p, ",\"score\":", 9); p += 9;
+            p += fmt_float(p, score[off + i]);
+            std::memcpy(p, ",\"embedding_score\":", 19); p += 19;
+            p += fmt_float(p, emb[off + i]);
+            std::memcpy(p, ",\"lexical_score\":", 17); p += 17;
+            p += fmt_float(p, lex[off + i]);
+            std::memcpy(p, ",\"initial_score\":", 17); p += 17;
+            p += fmt_float(p, initial[off + i]);
+            std::memcpy(p, ",\"reranker_score\":", 18); p += 18;
+            p += fmt_float(p, rr[off + i]);
+            std::memcpy(p, ",\"yes_logprob\":", 15); p += 15;
+            p += fmt_float(p, yes_lp[off + i]);
+            std::memcpy(p, ",\"no_logprob\":", 14); p += 14;
+            p += fmt_float(p, no_lp[off + i]);
+            *p++ = '}';
+        }
+        if (p + 2 > end) return -1;
+        *p++ = ']';
+        *p++ = '}';
+        out_lens[q] = (int64_t)(p - q_start);
+    }
+    return (int64_t)(p - out);
+}
+
 }  // extern "C"

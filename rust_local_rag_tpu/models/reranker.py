@@ -284,13 +284,13 @@ class TransformerReranker:
     def model_name(self) -> str:
         return self._model_name
 
-    def score_prompts(
-        self, prompts: Sequence[str]
-    ) -> List[Tuple[float, float, float]]:
-        """[(score, yes_logprob, no_logprob)] for a batch of prompts —
-        one device forward for the whole batch."""
+    def dispatch_prompts(self, prompts: Sequence[str]):
+        """First half of the scoring pass: tokenize + ONE async device
+        dispatch, no blocking fetch. Returns an opaque handle for
+        fetch_prompts — the pipelined serving path overlaps the judge's
+        device time with the next batch's host work."""
         if not prompts:
-            return []
+            return (None, None, 0)
         ids, mask = self.tokenizer.encode_batch(list(prompts))
         n = ids.shape[0]
         nb = bucket_batch(n)  # bound compiled batch shapes
@@ -308,12 +308,27 @@ class TransformerReranker:
             self._no_id,
             self.cfg,
         )
-        yes_lp = np.asarray(yes_lp, dtype=np.float64)[:n]
-        no_lp = np.asarray(no_lp, dtype=np.float64)[:n]
+        return (yes_lp, no_lp, n)
+
+    def fetch_prompts(self, handle) -> List[Tuple[float, float, float]]:
+        """Second half: blocking device->host fetch of the dispatched
+        logprobs; computes the softmax scores."""
+        yes_dev, no_dev, n = handle
+        if n == 0:
+            return []
+        yes_lp = np.asarray(yes_dev, dtype=np.float64)[:n]
+        no_lp = np.asarray(no_dev, dtype=np.float64)[:n]
         return [
             (softmax_yes_no(float(y), float(nn)), float(y), float(nn))
             for y, nn in zip(yes_lp, no_lp)
         ]
+
+    def score_prompts(
+        self, prompts: Sequence[str]
+    ) -> List[Tuple[float, float, float]]:
+        """[(score, yes_logprob, no_logprob)] for a batch of prompts —
+        one device forward for the whole batch."""
+        return self.fetch_prompts(self.dispatch_prompts(prompts))
 
 
 class FakeReranker:
@@ -328,6 +343,15 @@ class FakeReranker:
     @property
     def model_name(self) -> str:
         return self._model_name
+
+    def dispatch_prompts(self, prompts: Sequence[str]):
+        """Host-computed scores are already complete at dispatch time; the
+        handle IS the result (same dispatch/fetch interface as the
+        transformer judge for the pipelined serving lane)."""
+        return self.score_prompts(prompts)
+
+    def fetch_prompts(self, handle) -> List[Tuple[float, float, float]]:
+        return handle
 
     def score_prompts(self, prompts: Sequence[str]) -> List[Tuple[float, float, float]]:
         out: List[Tuple[float, float, float]] = []

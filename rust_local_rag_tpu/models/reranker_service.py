@@ -123,6 +123,20 @@ class RerankerService:
         device forward."""
         return self._model.score_prompts(list(prompts))
 
+    def dispatch_prompts(self, prompts: Sequence[str]):
+        """Async half of score_prompts for the pipelined judge lane: the
+        device forward is dispatched but not fetched. Models without a
+        split interface score synchronously here (the handle is then the
+        finished result)."""
+        if hasattr(self._model, "dispatch_prompts"):
+            return self._model.dispatch_prompts(list(prompts))
+        return self._model.score_prompts(list(prompts))
+
+    def fetch_prompts(self, handle):
+        if hasattr(self._model, "fetch_prompts"):
+            return self._model.fetch_prompts(handle)
+        return handle
+
     def rerank(
         self, query: str, candidates: Sequence[RerankerCandidate]
     ) -> List[RerankedResult]:

@@ -329,6 +329,17 @@ class SearchBatcher:
             and self.engine.supports_columnar()
         )
 
+    def _judge_lane(self, batch: List[_Item]) -> bool:
+        """Judge-gated hot lane: reranking ON with blend weight 0 (the
+        shipped quality config — judge as a rejection gate over the
+        initial order). Columnar end to end, with the judge forward as
+        one extra dispatched device program per batch."""
+        it = batch[0]
+        if it.key[1] != 0.0 or not it.use_reranker:  # diversity
+            return False
+        sj = getattr(self.engine, "supports_judged_columnar", None)
+        return sj is not None and sj(it.weights, it.use_reranker)
+
     def _serializer(self):
         if self._ser is None and not self._serializer_broken:
             with self._ser_lock:
@@ -360,6 +371,8 @@ class SearchBatcher:
         try:
             if self._hot_lane(batch):
                 self._execute_hot(batch, top_k)
+            elif self._judge_lane(batch):
+                self._execute_judged(batch, top_k)
             else:
                 self._execute_general(batch, top_k)
         except Exception as e:  # noqa: BLE001
@@ -404,6 +417,75 @@ class SearchBatcher:
                 else:
                     done.append(
                         (it, self.engine.results_from_columnar(col, qi))
+                    )
+            self._complete(done)
+
+    def _execute_judged(self, batch: List[_Item], top_k: int) -> None:
+        """Quality-config hot lane: first-stage dispatch -> columnar fetch
+        -> ONE batched judge dispatch -> logit fetch -> native gate +
+        serialize. Any failure falls back to the object lane (which
+        carries the reference's judge-failure semantics,
+        rag_engine.rs:586-597)."""
+        queries = [it.query for it in batch]
+        it0 = batch[0]
+        with self.engine_lock.read():
+            try:
+                pending = self.engine.dispatch_search(
+                    queries,
+                    top_k,
+                    it0.weights,
+                    rejection_threshold=0.0,
+                    rejection_cosine_floor=0.0,
+                )
+                if pending is None:
+                    self._execute_general(batch, top_k)
+                    return
+                pj = self.engine.judge_columnar(
+                    pending,
+                    queries,
+                    weights=it0.weights,
+                    rejection_threshold=it0.rejection_threshold,
+                    rejection_cosine_floor=it0.rejection_cosine_floor,
+                )
+                jc = self.engine.fetch_judged(pj)
+            except Exception:  # noqa: BLE001 — judge lane must degrade
+                logger.warning(
+                    "judge hot lane failed; falling back to object lane",
+                    exc_info=True,
+                )
+                self._execute_general(batch, top_k)
+                return
+            ser = self._serializer()
+            nq = len(batch)
+            payloads = None
+            if ser is None or not ser.supports_rr():
+                if not getattr(self, "_warned_no_rr", False):
+                    self._warned_no_rr = True
+                    logger.warning(
+                        "judge lane: native rr serializer unavailable "
+                        "(ser=%s rr=%s) — materializing objects",
+                        ser is not None,
+                        ser.supports_rr() if ser is not None else None,
+                    )
+            if (
+                ser is not None
+                and ser.supports_rr()
+                and any(it.want_payload for it in batch)
+            ):
+                col = jc.col
+                payloads = ser.serialize_batch_rr(
+                    col.slots[:nq], jc.score[:nq], col.emb[:nq],
+                    col.lex[:nq], col.vals[:nq], jc.rr[:nq],
+                    jc.yes[:nq], jc.no[:nq],
+                    emb_floor=jc.cos_floor, rr_floor=jc.thr,
+                )
+            done: List[Tuple[_Item, object]] = []
+            for qi, it in enumerate(batch):
+                if it.want_payload and payloads is not None:
+                    done.append((it, payloads[qi]))
+                else:
+                    done.append(
+                        (it, self.engine.results_from_judged(jc, qi))
                     )
             self._complete(done)
 

@@ -443,6 +443,19 @@ def measure_server_qps(
                     queries[:b], 5, gate_w, use_reranker=True,
                     rejection_threshold=0.06,
                 )
+                # the HTTP quality config now rides the judge-gated hot
+                # lane (batcher._execute_judged): warm its first-stage
+                # k-bucket and the judge-forward batch buckets too
+                pend = eng.dispatch_search(
+                    queries[:b], 5, gate_w,
+                    rejection_threshold=0.0, rejection_cosine_floor=0.0,
+                )
+                if pend is not None:
+                    pj = eng.judge_columnar(
+                        pend, queries[:b], weights=gate_w,
+                        rejection_threshold=0.06,
+                    )
+                    eng.fetch_judged(pj)
                 b *= 2
             warm = queries[:128]
             t0 = time.perf_counter()
@@ -455,6 +468,24 @@ def measure_server_qps(
             )
             log(f"engine rerank-on top_k 5: "
                 f"{result['engine_rerank_on_top5_qps']} qps")
+            # judged hot lane, engine-level (dispatch -> judge -> fetch
+            # pipelined across reps): the device-side quality-config ceiling
+            reps = 6
+            pend = eng.dispatch_search(warm, 5, gate_w, 0.0, 0.0)
+            t0 = time.perf_counter()
+            pj = eng.judge_columnar(pend, warm, weights=gate_w,
+                                    rejection_threshold=0.06)
+            for _ in range(reps - 1):
+                nxt = eng.dispatch_search(warm, 5, gate_w, 0.0, 0.0)
+                eng.fetch_judged(pj)
+                pj = eng.judge_columnar(nxt, warm, weights=gate_w,
+                                        rejection_threshold=0.06)
+            eng.fetch_judged(pj)
+            result["engine_judged_hot_top5_qps"] = round(
+                reps * 128 / (time.perf_counter() - t0), 1
+            )
+            log(f"engine judged hot lane top_k 5: "
+                f"{result['engine_judged_hot_top5_qps']} qps")
             d = _run_client(port, clients, max(duration_s / 2, 8), 5,
                             rerank=True)
             result["server_e2e_rerank_on_top5_qps"] = round(

@@ -278,3 +278,58 @@ def test_export_reference_json_roundtrip(tmp_path):
     res = P.load_index(str(tmp_path), "m1")
     assert res.state is not None
     assert len(res.state.metas) == 2
+
+
+# ----- dual-dim hot-swap (rag_engine.rs:1586-1645, SURVEY §7) -----
+
+def test_engine_dual_dim_hot_swap(tmp_path):
+    """Two encoders with DIFFERENT dims (768-d contract scaled down: 64-d
+    and 24-d hash encoders) coexist on disk; switch_embedding_model swaps
+    between them in-process without destroying either index, and searches
+    return each model's own chunks after every swap."""
+    import pdfgen
+    from rust_local_rag_tpu.engine import RagEngine
+    from rust_local_rag_tpu.models import EmbeddingService, HashEncoder
+
+    svc_a = EmbeddingService(HashEncoder(dim=64, model_name="model-a-64"))
+    svc_b = EmbeddingService(HashEncoder(dim=24, model_name="model-b-24"))
+    eng = RagEngine(str(tmp_path), svc_a, reranker=None)
+    eng.add_document(
+        "alpha.pdf",
+        pdfgen.make_pdf(["Tomato plants need regular deep watering."]),
+    )
+    assert len(eng.store) > 0
+    n_a = len(eng.store)
+
+    # swap to B: empty index, fresh start; ingest a different doc
+    eng.switch_embedding_model(svc_b)
+    assert eng.embedding_model() == "model-b-24"
+    assert len(eng.store) == 0
+    assert eng.store.dim == 24
+    eng.add_document(
+        "beta.pdf",
+        pdfgen.make_pdf(["Gradient descent minimizes the loss function."]),
+    )
+    n_b = len(eng.store)
+    assert n_b > 0
+
+    # both index files exist on disk, neither clobbered
+    assert os.path.exists(P.get_index_path(str(tmp_path), "model-a-64"))
+    assert os.path.exists(P.get_index_path(str(tmp_path), "model-b-24"))
+
+    # swap back to A: the original chunks are intact and searchable
+    eng.switch_embedding_model(svc_a)
+    assert len(eng.store) == n_a
+    assert eng.store.dim == 64
+    res = eng.search("tomato watering", top_k=1)
+    assert res and res[0].document == "alpha.pdf"
+
+    # and B again: still intact
+    eng.switch_embedding_model(svc_b)
+    assert len(eng.store) == n_b
+    res = eng.search("gradient descent", top_k=1)
+    assert res and res[0].document == "beta.pdf"
+
+    # same-model swap is a no-op
+    eng.switch_embedding_model(svc_b)
+    assert len(eng.store) == n_b
