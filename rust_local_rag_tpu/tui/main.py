@@ -39,6 +39,11 @@ class Controller:
         self.msgs: "queue.Queue[Msg]" = queue.Queue()
         self._pending_query: Optional[str] = None
         self._pending_at = 0.0
+        self._apply_client = {
+            # client-side keys applied to the live session immediately
+            # (everything else is server-side: requires_restart)
+            "RAG_TUI_SERVER_URL": self._repoint_api,
+        }
         self._last_stats = 0.0
         self._last_health = 0.0
         self._last_job = 0.0
@@ -50,6 +55,18 @@ class Controller:
 
     def stop(self) -> None:
         self._stop.set()
+
+    def apply_client_setting(self, key: str) -> None:
+        """Apply a client-only setting to the live session (server keys
+        need a restart and carry the '(restart)' marker instead)."""
+        fn = self._apply_client.get(key)
+        if fn is not None:
+            fn()
+
+    def _repoint_api(self) -> None:
+        url = self.settings.get("RAG_TUI_SERVER_URL") or "http://127.0.0.1:3046"
+        self.api.base_url = url.rstrip("/")
+        self.state.status_line = f"server -> {self.api.base_url}"
 
     def _watch_jobs(self) -> None:
         while not self._stop.is_set():
@@ -188,11 +205,16 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
     from rust_local_rag_tpu.tui.settings import SETTING_KEYS
 
     nrows = len(SETTING_KEYS)
+    if ch == 3:  # Ctrl-C: raw mode delivers it as a key; keep quit working
+        state.update(Msg("quit"))
+        return
     if state.settings_editing:
         buf, cur = state.settings_edit_buffer, state.settings_cursor
         if ch in (curses.KEY_ENTER, 10, 13):
             key = SETTING_KEYS[state.settings_selected][0]
             err = ctl.settings.set(key, buf)
+            if not err or err.startswith("warning:"):
+                ctl.apply_client_setting(key)
             state.status_line = err or f"{key} updated (Ctrl-S to save)"
             # hard validation errors keep the editor open for correction;
             # warnings were applied (settings.rs Warning semantics)
@@ -244,6 +266,8 @@ def _handle_settings_key(ch: int, state: AppState, ctl: Controller) -> None:
         step = 1 if ch == curses.KEY_RIGHT else -1
         nxt = choices[(pos + step) % len(choices)]
         err = ctl.settings.set(key, nxt)
+        if not err or err.startswith("warning:"):
+            ctl.apply_client_setting(key)
         state.status_line = err or (
             f"{key} = {nxt or '(empty)'} (Ctrl-S to save)"
         )
@@ -294,10 +318,27 @@ def _resolve_escape(stdscr) -> int:
     for an unrecognized sequence (swallowed, not typed into the query)."""
     time.sleep(0.03)
     tail = ""
+    retries = 0
     while len(tail) < 8:
         nxt = stdscr.getch()
         if nxt == -1:
+            # a split tail can straggle past the first poll (SSH jitter):
+            # re-sleep a few times while the accumulated tail is still a
+            # prefix of some known sequence, instead of swallowing it
+            if retries < 3 and (
+                not tail or any(s.startswith(tail) for s in _ESC_TAILS)
+            ):
+                retries += 1
+                time.sleep(0.01)
+                continue
             break
+        if nxt == 27:
+            if not tail:
+                # two rapid Esc presses: this one is a genuine lone ESC;
+                # push the second back so it fires its own action too
+                curses.ungetch(27)
+                return 27
+            return -1
         if 32 <= nxt < 127:
             tail += chr(nxt)
             if tail in _ESC_TAILS:

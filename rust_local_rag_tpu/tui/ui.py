@@ -9,6 +9,13 @@ from rust_local_rag_tpu.tui.app import AppState, Mode
 from rust_local_rag_tpu.tui.settings import Settings
 from rust_local_rag_tpu.tui.theme import Theme
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _validate_cached(raw):
+    return functools.lru_cache(maxsize=256)(raw)
+
 _COLOR_IDS = {
     "cyan": curses.COLOR_CYAN,
     "yellow": curses.COLOR_YELLOW,
@@ -181,7 +188,12 @@ def _draw_help(stdscr, theme: Theme, h: int, w: int) -> None:
 def _draw_settings(
     stdscr, state: AppState, settings: Settings, theme: Theme, h: int, w: int
 ) -> None:
-    from rust_local_rag_tpu.tui.settings import validate
+    from rust_local_rag_tpu.tui.settings import validate as _validate_raw
+
+    # the settings screen redraws ~33 Hz and path keys stat the filesystem
+    # per validate call; memoize per (key, value) so a frame costs nothing
+    # when nothing changed (settings.set still calls the raw validator)
+    validate = _validate_cached(_validate_raw)
 
     _safe_add(stdscr, 3, 1, "Settings (.env)", _attr(theme.accent, bold=True))
     for i, (key, desc, value) in enumerate(settings.rows()):
