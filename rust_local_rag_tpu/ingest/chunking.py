@@ -165,6 +165,13 @@ def split_sentences(text: str) -> List[str]:
     ruleset (segment.srx:1104-1418; rule classes documented at
     _ABBREV_ALWAYS/_ABBREV_SOFT above).
 
+    Full-ruleset mode: when RAG_TPU_SRX_FILE points at an SRX 2.0 document
+    the compiled ruleset segments instead (ingest/srx.py), reproducing the
+    reference's exact rule resolution including the srx crate's unanchored
+    language matching quirk. The built-in splitter below remains the
+    default: it is ~40x faster on the host ingest path and covers the
+    same rule classes.
+
     SRX's catch-all break rules fire after any terminal punctuation run
     followed by whitespace — including before a lowercase continuation —
     unless a no-break rule matched first. One deliberate divergence, noted
@@ -172,6 +179,11 @@ def split_sentences(text: str) -> List[str]:
     stays joined ("trailed off ... and resumed"), where raw SRX would
     split; PDF text is full of mid-sentence ellipses.
     """
+    from rust_local_rag_tpu.ingest import srx as _srx
+
+    seg = _srx.load_segmenter()
+    if seg is not None:
+        return [s for s in (p.strip() for p in seg.split(text)) if s]
     out: List[str] = []
     n = len(text)
     start = 0
