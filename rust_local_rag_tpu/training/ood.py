@@ -129,6 +129,68 @@ _TEMPLATES = [
       "a courtroom appearance", "an alpine via ferrata"]),
 ]
 
+# NEAR-domain junk bank (2026-08-19): the round-4 scaled-split record
+# (eval_baseline_20260819_121320) showed the far-OOD-calibrated judge
+# cannot reject junk that shares the corpus's technical REGISTER but asks
+# about named systems the corpus never covers — dev rejection fell to
+# 8/15, and every leaked query was of this class ("Kubernetes pod
+# eviction", "BIND DNS TTL", "Rust borrow checker", "Ethereum gas",
+# "LIGO whitening"). These templates teach the decisive feature: a query
+# whose salient PROPER ENTITY is absent from the passage is a "no" even
+# when the surrounding vocabulary (memory, scheduler, pipeline, codec)
+# matches the corpus domain. Entities appearing in ANY committed eval
+# rejection query (all three splits) are banned — class-level fix,
+# never query-level memorization. Sibling classes of the observed
+# failures use DIFFERENT entities (Docker Swarm not Kubernetes, Unbound
+# not BIND, Go not Rust, Solana not Ethereum, CERN not LIGO).
+_NEAR_TEMPLATES = [
+    ("How does {} schedule containers across a cluster?",
+     ["Docker Swarm", "Apache Mesos", "HashiCorp Nomad", "OpenShift"]),
+    ("What retry policy does {} apply to failed deliveries?",
+     ["Postfix", "RabbitMQ", "Amazon SQS", "Celery"]),
+    ("How does the {} runtime garbage-collect unreachable objects?",
+     ["Go", "Erlang BEAM", "OCaml", "Lua"]),
+    ("Which configuration directive tunes worker processes in {}?",
+     ["nginx", "Apache httpd", "HAProxy", "Gunicorn"]),
+    ("How does {} replicate its write-ahead state across nodes?",
+     ["MongoDB", "Cassandra", "CockroachDB", "etcd"]),
+    ("What consensus round timeout does {} default to?",
+     ["Solana", "Tendermint", "Hyperledger Fabric", "Zookeeper"]),
+    ("How do I calibrate the beam monitors in the {} detector?",
+     ["ATLAS", "CMS", "Super-Kamiokande", "IceCube"]),
+    ("What annealing temperature should {} primers use?",
+     ["qPCR", "Sanger sequencing", "multiplex PCR"]),
+    ("Which flag enables incremental compilation in {}?",
+     ["the Scala compiler", "GHC", "the Kotlin compiler", "MSVC"]),
+    ("How does {} evict stale entries from its cache tier?",
+     ["Memcached", "Varnish", "Cloudflare Workers KV", "Ehcache"]),
+    ("What is the maximum block size in {}?",
+     ["Bitcoin", "Litecoin", "ZFS", "Btrfs"]),
+    ("How does the {} kernel module handle interrupt coalescing?",
+     ["e1000e", "ixgbe", "virtio-net", "mlx5"]),
+    ("Which directive sets the unit restart backoff in {}?",
+     ["systemd", "runit", "supervisord", "launchd"]),
+    ("What preamble length does the {} radio standard require?",
+     ["Zigbee", "Z-Wave", "Sigfox", "NB-IoT"]),
+    ("How do I tune the suspension damping on a {}?",
+     ["mountain bike fork", "quadcopter gimbal", "CNC router gantry",
+      "camera slider"]),
+    ("What firmware flashes the bootloader on an {} board?",
+     ["ESP32", "STM32 Nucleo", "nRF52", "RP2040"]),
+]
+
+# near-domain probe split: reserved from training, same register
+_NEAR_PROBE_TEMPLATES = [
+    ("How does {} shard its message log across brokers?",
+     ["Apache Kafka", "NATS JetStream", "Apache Pulsar"]),
+    ("Which directive limits request body size in {}?",
+     ["Caddy", "Traefik", "Envoy"]),
+    ("What watchdog interval does the {} flight controller use?",
+     ["Betaflight", "ArduPilot", "PX4"]),
+    ("How does {} deduplicate blocks during backup?",
+     ["restic", "BorgBackup", "Duplicati"]),
+]
+
 
 # Probe-only templates: RESERVED from training so the trainer's in-run
 # "ood yes-p" metric measures generalization to unseen junk, not
@@ -164,9 +226,17 @@ def junk_queries(n: int, seed: int = 0, split: str = "train") -> List[str]:
     trainer's pool; split="probe" draws ONLY from templates reserved out
     of training, so probe yes-probabilities measure generalization."""
     if split == "train":
+        # far-OOD + near-domain banks together: the judge must reject
+        # BOTH registers (see _NEAR_TEMPLATES rationale)
+        templates = _TEMPLATES + _NEAR_TEMPLATES
+    elif split == "far":
         templates = _TEMPLATES
+    elif split == "near":
+        templates = _NEAR_TEMPLATES
     elif split == "probe":
         templates = _PROBE_TEMPLATES
+    elif split == "near_probe":
+        templates = _NEAR_PROBE_TEMPLATES
     else:
         raise ValueError(f"unknown split {split!r}")
     rng = np.random.default_rng(seed)
