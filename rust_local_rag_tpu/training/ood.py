@@ -147,7 +147,7 @@ _NEAR_TEMPLATES = [
     ("How does {} schedule containers across a cluster?",
      ["Docker Swarm", "Apache Mesos", "HashiCorp Nomad", "OpenShift"]),
     ("What retry policy does {} apply to failed deliveries?",
-     ["Postfix", "RabbitMQ", "Amazon SQS", "Celery"]),
+     ["Postfix", "RabbitMQ", "ActiveMQ", "Celery"]),
     ("How does the {} runtime garbage-collect unreachable objects?",
      ["Go", "Erlang BEAM", "OCaml", "Lua"]),
     ("Which configuration directive tunes worker processes in {}?",
