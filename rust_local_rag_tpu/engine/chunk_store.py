@@ -350,16 +350,24 @@ class ChunkStore:
 
     def snapshot_host(self):
         """(embeddings [n, D] f32, metas) for live chunks, slot-ordered.
-        Reads the slab back from device (one gather + device_get)."""
+
+        Compile-free by design: fetches the RAW slab buffer (one device->
+        host copy of an existing array, no XLA program) and gathers the
+        live rows on the host. The previous on-device ``jnp.take(live)``
+        compiled a fresh gather program for every distinct live-row count,
+        and through the axon TPU tunnel a fresh compile+first-fetch has a
+        minutes-long tail (the same 1-row gather measured 2.7 s / 31 s /
+        80 s / 200 s / >15 min across runs) — which stalled ingest
+        persistence mid-reindex. The slab is at most 2x the live payload
+        (capacity doubles on grow), so the raw copy is within 2x of the
+        optimal transfer and fully deterministic."""
         live = sorted(self._id_to_slot.values())
         if not live:
             return np.zeros((0, self.dim), np.float32), []
-        idx = jnp.asarray(np.asarray(live, dtype=np.int32))
-        emb = np.asarray(
-            jnp.take(self._emb, idx, axis=0), dtype=np.float32
-        )
+        slab = np.asarray(self._emb)  # raw D2H copy, no compile
+        emb = slab[live].astype(np.float32)
         if self.quantized:
-            scales = np.asarray(jnp.take(self._scales, idx, axis=0))
+            scales = np.asarray(self._scales)[live]
             emb = emb * scales  # dequantize for persistence (f32 format)
         metas = [self._meta[s] for s in live]
         return emb, metas

@@ -113,6 +113,30 @@ def enable_compilation_cache(data_dir: str) -> None:
         logger.warning("Could not enable compilation cache: %s", e)
 
 
+def warmup_device_roundtrip() -> None:
+    """Absorb the tunnel's first host->device->host transfer before
+    serving. The FIRST device fetch in a process through the axon tunnel
+    is erratically slow (measured 2.7 s / 31 s / 80 s / 200 s / >15 min
+    for the same tiny fetch across runs); every later fetch is
+    milliseconds. Paying it here — before the server binds — keeps
+    ingest persistence and first-query latency deterministic. Pure
+    transfer, no XLA program, so nothing to compile."""
+    try:
+        import time as _time
+
+        import jax
+        import numpy as _np
+
+        t0 = _time.monotonic()
+        x = jax.device_put(_np.ones((8,), _np.float32))
+        _np.asarray(x)
+        logger.info(
+            "Device round-trip warmup in %.1f s", _time.monotonic() - t0
+        )
+    except Exception as e:  # noqa: BLE001 — serving works without it
+        logger.warning("Device round-trip warmup failed: %s", e)
+
+
 def build_runtime(data_dir: Optional[str] = None, documents_dir: Optional[str] = None):
     """Construct engine + lock + jobs + supervisor + app context."""
     from rust_local_rag_tpu.engine.rag_engine import RagEngine
@@ -125,6 +149,7 @@ def build_runtime(data_dir: Optional[str] = None, documents_dir: Optional[str] =
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(documents_dir, exist_ok=True)
     enable_compilation_cache(data_dir)
+    warmup_device_roundtrip()
 
     engine = RagEngine.create(data_dir)
     if engine.needs_reindex():
