@@ -219,7 +219,7 @@ def main() -> None:
 
         from rust_local_rag_tpu.ingest import chunk_text
         from rust_local_rag_tpu.models.encoder import default_asset as _da
-        from rust_local_rag_tpu.models.tokenizer import HfTokenizer
+        from rust_local_rag_tpu.models.tokenizer import load_tokenizer
 
         corpus_file = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -249,7 +249,7 @@ def main() -> None:
                 cur, size = [], 0
             if len(docs) >= 300:
                 break
-        tok = HfTokenizer(_da("tokenizer.json"))
+        tok = load_tokenizer(_da("tokenizer.json"))
         L = int(os.environ.get("BENCH_INGEST_LEN", 256))
         eb_full = int(os.environ.get("BENCH_INGEST_BATCH", 1024))
 
@@ -314,6 +314,7 @@ def main() -> None:
                 "host_tokenize_s": round(t_tok, 2),
                 "wall_s": round(el_full, 2),
                 "text_source": text_src,
+                "tokenizer": type(tok).__name__,
                 "device_only_chunks_per_s": round(ingest_cps, 1),
                 "roofline_chunks_per_s_at_peak_bf16": round(ideal_cps, 1),
                 "device_frac_of_roofline": round(

@@ -122,9 +122,20 @@ class HfTokenizer:
 def load_tokenizer(
     path: Optional[str] = None, vocab_size: int = 30528, max_len: int = 512
 ):
-    """HfTokenizer when a local tokenizer.json is available, else the
-    deterministic hash tokenizer."""
+    """Native WordPiece kernel (bit-identical, ~30x on the single-core
+    host) when native/librag_native.so carries it, else HfTokenizer, when
+    a local tokenizer.json is available; else the deterministic hash
+    tokenizer. RAG_TPU_NATIVE_TOKENIZER=0 forces the HF backend."""
     path = path or os.environ.get("TOKENIZER_PATH")
     if path and os.path.exists(path):
+        if os.environ.get("RAG_TPU_NATIVE_TOKENIZER", "1") != "0":
+            try:
+                from rust_local_rag_tpu.models.native_tokenizer import (
+                    NativeWordPieceTokenizer,
+                )
+
+                return NativeWordPieceTokenizer(path, max_len=max_len)
+            except (RuntimeError, ImportError):
+                pass
         return HfTokenizer(path, max_len=max_len)
     return HashTokenizer(vocab_size=vocab_size, max_len=max_len)
