@@ -196,6 +196,159 @@ def denoise_with_reranker(
     return out, stats
 
 
+def mine_junk_neighbors(
+    junk: List[str],
+    paragraphs: List[str],
+    pool: Optional[List[int]] = None,
+    n_bm25: int = 2,
+    n_dense: int = 2,
+) -> np.ndarray:
+    """[J, n_bm25+n_dense] int32 neighbor table for junk queries: for each
+    out-of-domain query, the corpus passages RETRIEVAL would surface for
+    it — its top BM25 hits plus its top dense-cosine hits (committed
+    encoder) over ``pool`` (indices into ``paragraphs``; None = all).
+
+    Why: pairing junk queries with RANDOM passages (the v7–v10 recipes)
+    teaches the judge to reject easy pairs, but the serving rejection
+    gate scores the junk query against its TOP-RETRIEVED chunks — the
+    most lexically/semantically attractive passages in the corpus. The
+    round-4 dev probe showed exactly this gap: v10's training-time OOD
+    probe (random pairs) read yes-p mean 0.017 while the same judge gave
+    the dev rejection queries' retrieved chunks yes-p up to 0.90. This
+    table supplies the hard pairs. Dense columns are -1 when no trained
+    encoder asset exists. Disk-cached (same scheme as
+    cached_denoised_table): the dense half costs ~1 min of device time
+    per 50k pool passages.
+    """
+    import hashlib
+    import os
+
+    pool = list(range(len(paragraphs))) if pool is None else list(pool)
+
+    from rust_local_rag_tpu.models.encoder import default_asset
+
+    enc_path = os.environ.get("ENCODER_WEIGHTS") or default_asset(
+        "encoder.safetensors"
+    )
+    have_encoder = bool(enc_path and os.path.exists(enc_path)) and n_dense > 0
+
+    h = hashlib.sha256()
+    # v2: junk queries embed through the QUERY-side encoder path
+    h.update(f"junk2|{n_bm25}|{n_dense}|".encode())
+    if have_encoder:
+        st = os.stat(enc_path)
+        h.update(f"enc:{enc_path}:{st.st_size}:{st.st_mtime_ns}|".encode())
+    else:
+        h.update(b"enc:none|")
+    for q in junk:
+        h.update(q.encode())
+        h.update(b"\0")
+    for i in pool:
+        h.update(paragraphs[i].encode())
+        h.update(b"\0")
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "rag_tpu_premine",
+        "junk_" + h.hexdigest()[:24] + ".npy",
+    )
+    if os.path.exists(cache):
+        print(f"junk premine cache hit: {cache}")
+        return np.load(cache)
+
+    t0 = time.monotonic()
+    width = n_bm25 + (n_dense if have_encoder else 0)
+    out = np.full((len(junk), max(width, 1)), -1, dtype=np.int32)
+
+    if n_bm25 > 0:
+        from rust_local_rag_tpu.ops.native_bm25 import make_lexical_index
+
+        bm25 = make_lexical_index()
+        for i in pool:
+            bm25.add_chunk(str(i), paragraphs[i])
+        for r, q in enumerate(junk):
+            hits = bm25.score(q, n_bm25)
+            for c, (cid, _) in enumerate(hits[:n_bm25]):
+                out[r, c] = int(cid)
+
+    if have_encoder:
+        import jax
+        import jax.numpy as jnp
+
+        from rust_local_rag_tpu.models.embedding_service import (
+            build_default_service,
+        )
+
+        svc = build_default_service()
+        step = 256
+
+        def embed(texts):
+            embs = []
+            for lo in range(0, len(texts), step):
+                embs.append(
+                    np.asarray(svc.embed_texts(texts[lo : lo + step]))
+                )
+            embs = np.concatenate(embs).astype(np.float32)
+            embs /= np.maximum(
+                np.linalg.norm(embs, axis=1, keepdims=True), 1e-10
+            )
+            return embs
+
+        corpus = jnp.asarray(
+            embed([paragraphs[i] for i in pool]), dtype=jnp.bfloat16
+        )
+        # queries ride the QUERY-side encoder path (task prefix) so the
+        # mined neighbors match what serving retrieval actually surfaces
+        qs_np = np.concatenate(
+            [
+                np.asarray(svc._encode_queries(list(junk)[lo : lo + step]))
+                for lo in range(0, len(junk), step)
+            ]
+        ).astype(np.float32)
+        qs_np /= np.maximum(
+            np.linalg.norm(qs_np, axis=1, keepdims=True), 1e-10
+        )
+        block = 1024
+
+        @jax.jit
+        def topk_block(qs, corpus):
+            scores = jnp.einsum(
+                "qd,nd->qn", qs, corpus, preferred_element_type=jnp.float32
+            )
+            return jax.lax.top_k(scores, n_dense + n_bm25)
+
+        pool_arr = np.asarray(pool, dtype=np.int32)
+        for lo in range(0, len(junk), block):
+            hi = min(lo + block, len(junk))
+            qs = jnp.asarray(qs_np[lo:hi], dtype=jnp.bfloat16)
+            if hi - lo < block:
+                qs = jnp.pad(qs, ((0, block - (hi - lo)), (0, 0)))
+            _, idx = topk_block(qs, corpus)
+            idx = np.asarray(idx)[: hi - lo]
+            for r in range(hi - lo):
+                have = set(int(x) for x in out[lo + r] if x >= 0)
+                c = n_bm25
+                for j in idx[r]:
+                    g = int(pool_arr[int(j)])
+                    if g in have:
+                        continue
+                    out[lo + r, c] = g
+                    have.add(g)
+                    c += 1
+                    if c >= width:
+                        break
+
+    print(
+        f"junk-mined {len(junk)} queries x {out.shape[1]} neighbors "
+        f"(bm25={n_bm25}, dense={n_dense if have_encoder else 0}) in "
+        f"{time.monotonic() - t0:.1f}s"
+    )
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, out)
+    os.replace(tmp, cache)
+    return out
+
+
 def cached_denoised_table(
     texts: List[str],
     n_neighbors: int = 4,

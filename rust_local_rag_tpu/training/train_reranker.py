@@ -60,6 +60,20 @@ Two lessons are baked in from round-2 measurements:
   hit at its own optimum (0.889 @ threshold 0.045) but with lower mrr
   (0.695 vs 0.740), so v7 stays committed; the wider banks remain the
   default data for future runs.
+* Junk "no" pairs must be RETRIEVED pairs, not random ones (v10 → v11
+  lesson, round 4). The serving rejection floor scores the junk query
+  against its TOP-RETRIEVED chunks — the most attractive passages in the
+  corpus — while the v7–v10 recipes paired junk with RANDOM passages. The
+  v10 run (merged far+near banks, random pairing) probed perfectly in
+  training (ood yes-p mean 0.017) yet on the dev rejection queries its
+  yes-p on retrieved chunks reached 0.90 with median 0.578 — fully
+  overlapping real queries. --junk-hard-frac pairs junk queries with
+  their own BM25+dense-mined neighbors (mining.mine_junk_neighbors), and
+  the ood-HARD probe (reserved junk templates x their retrieved held-out
+  passages) joins checkpoint selection, because ranking and junk-leak
+  trade off over training steps: the v11 run read ood-hard 0.000/0.002 at
+  step 1600 but 0.125 mean / 1.0 max by step 4800, and the leaked
+  checkpoint reproduced the overlap on dev (junk yes-p median 0.733).
 """
 
 from __future__ import annotations
@@ -96,6 +110,7 @@ class PromptPairBatcher:
         random_negative_frac: float = 0.2,
         dense_neighbors: Optional[np.ndarray] = None,
         ood_frac: float = 0.0,
+        junk_hard_frac: float = 0.5,
         paraphrase_frac: float = 0.0,
     ):
         self.rng = np.random.default_rng(seed)
@@ -133,11 +148,34 @@ class PromptPairBatcher:
         # ood.py): calibrates the absolute yes-probability the engine's
         # rejection_threshold gates on
         self.ood_frac = ood_frac
+        self.junk_hard_frac = junk_hard_frac
         self._junk: List[str] = []
+        self._junk_neighbors = None
         if ood_frac > 0:
             from rust_local_rag_tpu.training.ood import junk_queries
 
             self._junk = junk_queries(4096, seed=seed)
+            if junk_hard_frac > 0:
+                # v11 recipe: a junk "no" pair must look like what the
+                # serving gate actually scores — the junk query's TOP
+                # RETRIEVED passages, not a random one (mining.py
+                # mine_junk_neighbors rationale). Mined over the same
+                # indexed pool the BM25 negative premine uses.
+                from rust_local_rag_tpu.training.mining import (
+                    mine_junk_neighbors,
+                )
+
+                # Mine as WIDE as the serving exposure: the gate scores
+                # the junk query against every candidate in the retrieved
+                # head, and the v12 diagnostic showed the leak lives in
+                # the mid-tail — training only on the top-4 neighbors left
+                # ranks 5-15 unseen (per-query max yes-p over 15 mined
+                # candidates read ~0.7 while the trained top pairs read
+                # ~0.02). 7 BM25 + 8 dense ≈ one serving head.
+                self._junk_neighbors = mine_junk_neighbors(
+                    self._junk, self.paragraphs, pool=self.indexed,
+                    n_bm25=7, n_dense=8,
+                )
         # paraphrase the POSITIVE query with this probability so the judge
         # stops keying on verbatim overlap (VERDICT r2 missing #3: crop
         # queries != paraphrase serving queries; the v7/v8 judges lost at
@@ -285,8 +323,20 @@ class PromptPairBatcher:
                 # pairwise term still orders pos(q+) above it, and the BCE
                 # term drives the absolute yes-probability toward 0 —
                 # which is what the engine's rejection floor reads
-                jq = self._junk[int(self.rng.integers(0, len(self._junk)))]
+                jqi = int(self.rng.integers(0, len(self._junk)))
+                jq = self._junk[jqi]
                 j = int(self.rng.integers(0, n))
+                if (
+                    self._junk_neighbors is not None
+                    and self.rng.random() < self.junk_hard_frac
+                ):
+                    # HARD junk pair: the passage retrieval would surface
+                    # for this junk query (BM25 + dense mined) — the pair
+                    # the serving rejection floor actually scores
+                    row = self._junk_neighbors[jqi]
+                    cands = row[row >= 0]
+                    if cands.size:
+                        j = int(cands[int(self.rng.integers(0, cands.size))])
                 neg_prompts.append(self._prompt(jq, self.paragraphs[j]))
             else:
                 neg_prompts.append(
@@ -347,6 +397,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         help="fraction of negative prompts whose query is a synthesized "
         "far-out-of-domain factoid (training/ood.py) — calibrates the "
         "absolute yes-probability for the engine's rejection floor",
+    )
+    ap.add_argument(
+        "--junk-hard-frac", type=float, default=0.5,
+        help="within the --ood-frac junk draws, fraction paired with the "
+        "junk query's own RETRIEVED passages (BM25+dense mined, "
+        "mining.mine_junk_neighbors) instead of a random one — the pair "
+        "the serving rejection gate actually scores (v11 recipe; 0 "
+        "restores the v10-and-earlier random pairing)",
     )
     ap.add_argument(
         "--paraphrase-frac", type=float, default=0.0,
@@ -430,7 +488,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     batcher = PromptPairBatcher(
         train_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
         seq_len=args.seq_len, seed=args.seed, dense_neighbors=dense,
-        ood_frac=args.ood_frac, paraphrase_frac=args.paraphrase_frac,
+        ood_frac=args.ood_frac, junk_hard_frac=args.junk_hard_frac,
+        paraphrase_frac=args.paraphrase_frac,
     )
     if dense is not None:
         # the dense table was mined over the SAME >=16-word filter the
@@ -456,6 +515,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     # measure memorization, not generalization) against held-out passages;
     # mean yes-probability is the engine rejection floor's operating signal
     ood_ids = ood_mask = None
+    oodh_ids = oodh_mask = None
     if args.ood_frac > 0:
         from rust_local_rag_tpu.training.ood import junk_queries
 
@@ -468,6 +528,26 @@ def main(argv: Optional[List[str]] = None) -> None:
             for jq in jqs
         ]
         ood_ids, ood_mask = held._encode(ood_prompts)
+        # HARD variant: each probe junk query against its own top
+        # RETRIEVED held passage — the serving gate's operating pair.
+        # This is the number that predicted v10's dev-rejection failure
+        # (random-pair probe read 0.017 while retrieved-pair yes-p on the
+        # dev split reached 0.90), so it joins checkpoint selection below.
+        from rust_local_rag_tpu.training.mining import mine_junk_neighbors
+
+        jtab = mine_junk_neighbors(
+            jqs, held.paragraphs, n_bm25=7, n_dense=8
+        )
+        oodh_prompts = []
+        oodh_qid: List[int] = []
+        for r, jq in enumerate(jqs):
+            cands = jtab[r][jtab[r] >= 0]
+            for j in cands:
+                oodh_prompts.append(held._prompt(jq, held.paragraphs[int(j)]))
+                oodh_qid.append(r)
+        if oodh_prompts:
+            oodh_ids, oodh_mask = held._encode(oodh_prompts)
+            oodh_qid_arr = np.asarray(oodh_qid)
 
     cfg = RerankerConfig(
         vocab_size=tokenizer.vocab_size,
@@ -500,6 +580,23 @@ def main(argv: Optional[List[str]] = None) -> None:
             params, ids, mask, cfg, fused_attn=False
         )
         return logits[:, yes_id] - logits[:, no_id]
+
+    def _yes_p_sliced(params, ids, mask, bs: int = 512) -> np.ndarray:
+        """yes-probabilities for a large prompt set in fixed-shape slices
+        (a single 3.8k x 192 forward would allocate a multi-GB attention
+        tensor; fixed slices also keep the compile count at one)."""
+        n = ids.shape[0]
+        out = np.zeros(n, dtype=np.float32)
+        for lo in range(0, n, bs):
+            hi = min(lo + bs, n)
+            i = np.zeros((bs, ids.shape[1]), dtype=ids.dtype)
+            m = np.zeros((bs, mask.shape[1]), dtype=mask.dtype)
+            i[: hi - lo] = ids[lo:hi]
+            m[: hi - lo] = mask[lo:hi]
+            m[hi - lo :, 0] = 1  # keep padded rows finite
+            yp = jax.nn.sigmoid(_margins(params, jnp.asarray(i), jnp.asarray(m)))
+            out[lo:hi] = np.asarray(yp)[: hi - lo]
+        return out
 
     def loss_fn(params, pi, pm, ni, nm):
         mp = _margins(params, pi, pm)
@@ -570,12 +667,27 @@ def main(argv: Optional[List[str]] = None) -> None:
                 params, para_pi, para_pm, para_ni, para_nm
             )
             ood_note = ""
+            oodh_mean = None
             if ood_ids is not None:
                 m = _margins(params, jnp.asarray(ood_ids), jnp.asarray(ood_mask))
                 yes_p = jax.nn.sigmoid(m)
                 ood_note = (
                     f" ood yes-p mean {float(jnp.mean(yes_p)):.3f} "
                     f"max {float(jnp.max(yes_p)):.3f}"
+                )
+            if oodh_ids is not None:
+                yp = _yes_p_sliced(params, oodh_ids, oodh_mask)
+                # serving-relevant statistic: the gate sees the MAX yes-p
+                # over each junk query's retrieved head, so a probe mean
+                # over pairs underpredicts the leak (v12 lesson: pair mean
+                # 0.007 while per-query max median was ~0.7)
+                qmax = np.zeros(int(oodh_qid_arr.max()) + 1, dtype=np.float32)
+                np.maximum.at(qmax, oodh_qid_arr, yp)
+                oodh_mean = float(qmax.mean())
+                ood_note += (
+                    f" ood-hard qmax mean {oodh_mean:.3f} "
+                    f"med {float(np.median(qmax)):.3f} "
+                    f"max {float(qmax.max()):.3f}"
                 )
             print(
                 f"step {done}: held-out pair acc {float(pa):.3f} "
@@ -586,8 +698,18 @@ def main(argv: Optional[List[str]] = None) -> None:
             # keep the BEST held-out checkpoint, not the final step: the
             # v3 run peaked at 8000/12000 and drifted after. The selection
             # score now includes the paraphrase probe — the serving
-            # register the verbatim metric is blind to.
+            # register the verbatim metric is blind to — and (v11) the
+            # HARD OOD probe, because the rejection gate reads the judge's
+            # yes-p on retrieved junk pairs and a checkpoint that leaks
+            # there is useless however well it orders.
             score = float(pa) + float(ppa) + 0.1 * float(ca)
+            if oodh_mean is not None:
+                # weight 1.5: measured on the round-4 v11 run, the probe's
+                # leak tracks the dev rejection queries' leak superlinearly
+                # (probe mean 0.125 at step 4800 -> dev junk yes-p median
+                # 0.733; probe 0.000 at 1600 -> clean) and ranking gains
+                # of +0.04 pair acc never pay for a dead rejection gate
+                score += 1.5 * (1.0 - oodh_mean)
             if score > best_acc:
                 best_acc = score
                 best_step = done
@@ -639,6 +761,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         note2 = (
             f" ood yes-p mean {float(jnp.mean(yp2)):.3f} "
             f"max {float(jnp.max(yp2)):.3f}"
+        )
+    if oodh_ids is not None:
+        yp2 = _yes_p_sliced(reloaded, oodh_ids, oodh_mask)
+        qmax2 = np.zeros(int(oodh_qid_arr.max()) + 1, dtype=np.float32)
+        np.maximum.at(qmax2, oodh_qid_arr, yp2)
+        note2 += (
+            f" ood-hard qmax mean {float(qmax2.mean()):.3f} "
+            f"med {float(np.median(qmax2)):.3f} max {float(qmax2.max()):.3f}"
         )
     print(
         f"reloaded checkpoint: pair acc {float(pa2):.3f} "
