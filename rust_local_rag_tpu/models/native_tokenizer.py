@@ -31,6 +31,7 @@ from rust_local_rag_tpu.models.tokenizer import (
     DEFAULT_BUCKETS,
     HfTokenizer,
     bucket_length,
+    headtail_pack,
 )
 
 _LIB_PATH = os.path.join(
@@ -173,6 +174,37 @@ class NativeWordPieceTokenizer:
             return self._fallback.tokenize(text)
         ids, lens = self._encode_native([text], self.max_len)
         return ids[0, : int(lens[0])].tolist()
+
+    def encode_batch_headtail(
+        self, texts: Sequence[str], seq_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fixed-shape [B, seq_len] judge encoding (tokenizer.headtail_pack)
+        — same bytes as HfTokenizer.encode_batch_headtail. The native kernel
+        encodes into a generous fixed buffer; any row that fills it (so its
+        true tail is unknown) reroutes to the HF backend for untruncated
+        ids."""
+        texts = list(texts)
+        cap = max(1024, 2 * seq_len)
+        fb = set(i for i, t in enumerate(texts) if _FALLBACK_RE.search(t))
+        nat_idx = [i for i in range(len(texts)) if i not in fb]
+        rows: List[List[int]] = [[] for _ in texts]
+        if nat_idx:
+            ids, lens = self._encode_native(
+                [texts[i] for i in nat_idx], cap
+            )
+            for j, i in enumerate(nat_idx):
+                if int(lens[j]) >= cap:
+                    fb.add(i)
+                else:
+                    rows[i] = ids[j, : int(lens[j])].tolist()
+        if fb:
+            encs = self._tok.encode_batch([texts[i] for i in sorted(fb)])
+            for i, e in zip(sorted(fb), encs):
+                rows[i] = e.ids
+        pad = self._tok.token_to_id("[PAD]") if fb else 0
+        # the shipped tokenizer.json puts [PAD] at 0; the native buffer is
+        # zero-padded, so the two agree without forcing an HF construction
+        return headtail_pack(rows, seq_len, pad if pad is not None else 0)
 
     def encode_batch(
         self, texts: Sequence[str], buckets: Sequence[int] = DEFAULT_BUCKETS

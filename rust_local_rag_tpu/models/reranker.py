@@ -248,10 +248,19 @@ class TransformerReranker:
             self.cfg = cfg or (
                 RerankerConfig.from_json(cfg_json) if cfg_json else RerankerConfig()
             )
+            # Serve-time prompts MUST be encoded exactly like the trainer's
+            # (head/tail truncation at the TRAINED sequence length, fixed
+            # pad) — head-only truncation at max_len put every long prompt
+            # at positions the judge never saw and destroyed the rejection
+            # gate's calibration (junk yes-p 0.07 in training vs 0.65 at
+            # serve). 192 is the recipe default every shipped judge used;
+            # newer checkpoints carry it in metadata.
+            self.judge_seq_len = int(meta.get("train_seq_len", "192"))
             logger.info("Loaded reranker weights from %s", weights_path)
         else:
             self.cfg = cfg or RerankerConfig()
             self.params = init_reranker_params(jax.random.PRNGKey(seed), self.cfg)
+            self.judge_seq_len = 192
             logger.info("Reranker running with seeded random init")
         tokenizer_path = (
             tokenizer_path
@@ -291,7 +300,12 @@ class TransformerReranker:
         device time with the next batch's host work."""
         if not prompts:
             return (None, None, 0)
-        ids, mask = self.tokenizer.encode_batch(list(prompts))
+        # train/serve encoding parity: same truncation scheme, same fixed
+        # sequence length the checkpoint was trained at (one compiled seq
+        # shape as a bonus — the bucketed path recompiled per length)
+        ids, mask = self.tokenizer.encode_batch_headtail(
+            list(prompts), self.judge_seq_len
+        )
         n = ids.shape[0]
         nb = bucket_batch(n)  # bound compiled batch shapes
         if nb > n:

@@ -50,6 +50,30 @@ def bucket_batch(n: int) -> int:
     return b
 
 
+def headtail_pack(
+    rows: Sequence[Sequence[int]], seq_len: int, pad_id: int = PAD_ID
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack untruncated token rows into fixed [B, seq_len] with the judge
+    trainer's truncation: rows longer than seq_len keep the HEAD seq_len//3
+    + the TAIL remainder, so the trailing yes/no question and "Answer:" cue
+    survive (training/train_reranker.py PromptPairBatcher._encode). The
+    serving judge MUST encode through this same function: round 4 traced the
+    rejection-gate leak (junk yes-p 0.65 at serve vs 0.07 in training) to
+    serving head-only truncation at max_len=512 — every long prompt was
+    judged at RoPE positions and cut points the judge never trained on."""
+    B = len(rows)
+    ids = np.full((B, seq_len), pad_id, dtype=np.int32)
+    mask = np.zeros((B, seq_len), dtype=np.int32)
+    head = seq_len // 3
+    for b, r in enumerate(rows):
+        r = list(r)
+        if len(r) > seq_len:
+            r = r[:head] + r[-(seq_len - head):]
+        ids[b, : len(r)] = r
+        mask[b, : len(r)] = 1
+    return ids, mask
+
+
 class HashTokenizer:
     """Deterministic hashing tokenizer (vocab-free).
 
@@ -73,6 +97,25 @@ class HashTokenizer:
                 break
         ids.append(SEP_ID)
         return ids
+
+    def tokenize_full(self, text: str) -> List[int]:
+        """Untruncated ids (head/tail packing needs the real tail)."""
+        ids = [CLS_ID]
+        for w in _WORD_RE.findall(text.lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            ids.append(_N_SPECIAL + h % (self.vocab_size - _N_SPECIAL))
+        ids.append(SEP_ID)
+        return ids
+
+    def encode_batch_headtail(
+        self, texts: Sequence[str], seq_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fixed-shape [B, seq_len] judge encoding (see headtail_pack)."""
+        return headtail_pack(
+            [self.tokenize_full(t) for t in texts], seq_len, PAD_ID
+        )
 
     def encode_batch(
         self, texts: Sequence[str], buckets: Sequence[int] = DEFAULT_BUCKETS
@@ -102,6 +145,18 @@ class HfTokenizer:
 
     def tokenize(self, text: str) -> List[int]:
         return self._tok.encode(text).ids[: self.max_len]
+
+    def tokenize_full(self, text: str) -> List[int]:
+        return self._tok.encode(text).ids
+
+    def encode_batch_headtail(
+        self, texts: Sequence[str], seq_len: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fixed-shape [B, seq_len] judge encoding (see headtail_pack) —
+        byte-identical to the trainer's PromptPairBatcher._encode."""
+        pad = self._tok.token_to_id("[PAD]")
+        rows = [e.ids for e in self._tok.encode_batch(list(texts))]
+        return headtail_pack(rows, seq_len, pad if pad is not None else 0)
 
     def encode_batch(
         self, texts: Sequence[str], buckets: Sequence[int] = DEFAULT_BUCKETS

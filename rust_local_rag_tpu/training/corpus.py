@@ -44,16 +44,24 @@ _MIN_WORDS = 12
 _MAX_WORDS = 220
 _MIN_ALPHA_RATIO = 0.72
 
-# rst/markdown noise commonly embedded in docstrings
+# rst/markdown noise commonly embedded in docstrings and READMEs
 _RST_ROLE = re.compile(r":[a-z]+:`([^`]*)`")
 _BACKTICKS = re.compile(r"``?([^`]*)``?")
 _UNDERLINE = re.compile(r"^[-=~^\"'#*]{3,}$")
 _DIRECTIVE = re.compile(r"^\.\. [a-z]+::.*$")
+_MD_IMAGE = re.compile(r"!\[[^\]]*\]\([^)]*\)")
+_MD_LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_RST_LINK = re.compile(r"`([^`<]*)<[^>]*>`_+")
+_BARE_URL = re.compile(r"https?://\S+")
 
 
 def _clean_line(line: str) -> str:
+    line = _MD_IMAGE.sub("", line)
+    line = _MD_LINK.sub(r"\1", line)
+    line = _RST_LINK.sub(r"\1", line)
     line = _RST_ROLE.sub(r"\1", line)
     line = _BACKTICKS.sub(r"\1", line)
+    line = _BARE_URL.sub("", line)
     return line.strip()
 
 
@@ -62,8 +70,17 @@ def paragraphs_from_text(text: str) -> List[str]:
     blocks (doctest '>>>' lines, deeply indented blocks) dropped."""
     paras: List[str] = []
     cur: List[str] = []
+    in_fence = False
     for raw in text.splitlines():
         stripped = raw.strip()
+        if stripped.startswith("```") or stripped.startswith("~~~"):
+            in_fence = not in_fence
+            if cur:
+                paras.append(" ".join(cur))
+                cur = []
+            continue
+        if in_fence:
+            continue
         if (
             not stripped
             or stripped.startswith(">>>")
@@ -169,6 +186,58 @@ def harvest(
                     continue
                 if _add(paragraphs_from_text(text)):
                     return out
+    return out
+
+
+def harvest_readmes(
+    exclude_hashes: Optional[Set[str]] = None,
+    already_seen: Optional[Set[str]] = None,
+) -> List[str]:
+    """Authored-manual-style prose from wheel `*.dist-info/METADATA` files
+    (every wheel embeds its project README in PyPI metadata).
+
+    Why a second source: `harvest()` is ~99.6% docstring prose (69k vs 254
+    docfile paragraphs), and the round-4 rejection diagnosis showed the
+    judge's absolute yes-probability does not transfer to authored manual
+    prose — junk yes-p read mean 0.09/max 0.68 on harvested passages but
+    mean 0.21/max 0.98 on authored pages (training/ood.py honest-baseline
+    note). READMEs are the one sizeable local corpus in that register
+    (~5.7k paragraphs): narrative feature descriptions, install guides,
+    usage walkthroughs — the style the serving deployments' PDFs use.
+    """
+    import site
+
+    exclude = exclude_hashes or set()
+    seen = set(already_seen or ())
+    roots = []
+    for sp in site.getsitepackages() + [site.getusersitepackages()]:
+        if sp and os.path.isdir(sp) and sp not in roots:
+            roots.append(sp)
+    extra = os.path.expanduser("~/.axon_site")
+    if os.path.isdir(extra) and extra not in roots:
+        roots.append(extra)
+    out: List[str] = []
+    for root in roots:
+        for path in sorted(
+            glob.glob(os.path.join(root, "*.dist-info", "METADATA"))
+        ):
+            try:
+                with open(path, encoding="utf-8", errors="ignore") as f:
+                    text = f.read()
+            except OSError:
+                continue
+            # METADATA = RFC-822 headers, blank line, README body — only
+            # the body is prose (headers would add "Requires-Dist:" soup)
+            body = text.split("\n\n", 1)
+            text = body[1] if len(body) == 2 else ""
+            for p in paragraphs_from_text(text):
+                if not _looks_like_prose(p):
+                    continue
+                h = normalized_hash(p)
+                if h in seen or h in exclude:
+                    continue
+                seen.add(h)
+                out.append(p)
     return out
 
 

@@ -115,6 +115,7 @@ class PromptPairBatcher:
     ):
         self.rng = np.random.default_rng(seed)
         self.seq_len = seq_len
+        self._doc_pool: List[str] = []
         self.tk = tokenizer._tok
         self.cls_id = self.tk.token_to_id("[CLS]")
         self.sep_id = self.tk.token_to_id("[SEP]")
@@ -288,26 +289,48 @@ class PromptPairBatcher:
         return self.paragraphs[j]
 
     def _prompt(self, q: str, text: str) -> str:
+        """Field-RANDOMIZED prompt: serving fills {document}/{page} with the
+        real file name and page (reranker_service.build_prompt), and the r4
+        diagnosis showed a judge trained on constant fields keys on the
+        unfamiliar names — junk max yes-p on the dev corpus read mean 0.56
+        with real fields vs 0.28 with the training constants. Randomizing
+        the fields trains the judge to be invariant to them, so relevance
+        comes from the query/text pair alone."""
+        if not self._doc_pool:
+            words = sorted(
+                {
+                    w
+                    for p in self.paragraphs[:2000]
+                    for w in p.lower().split()
+                    if 4 <= len(w) <= 12 and w.isalpha()
+                }
+            )
+            pool_rng = np.random.default_rng(12345)
+            self._doc_pool = [
+                f"{words[int(pool_rng.integers(0, len(words)))]}_"
+                f"{words[int(pool_rng.integers(0, len(words)))]}.pdf"
+                for _ in range(256)
+            ] or ["corpus.pdf"]
+        doc = self._doc_pool[int(self.rng.integers(0, len(self._doc_pool)))]
+        # serving maps page_number 0 -> "unknown"; train on both forms
+        page = (
+            "unknown"
+            if self.rng.random() < 0.1
+            else str(int(self.rng.integers(1, 40)))
+        )
         return self.template.format(
-            query=q, document="corpus.pdf", page="1", section="N/A", text=text
+            query=q, document=doc, page=page, section="N/A", text=text
         )
 
     def _encode(self, prompts: List[str]):
-        encs = self.tk.encode_batch(prompts)
-        B = len(prompts)
-        ids = np.full((B, self.seq_len), self.pad_id, dtype=np.int32)
-        mask = np.zeros((B, self.seq_len), dtype=np.int32)
-        for b, e in enumerate(encs):
-            row = e.ids[: self.seq_len]
-            # keep the prompt TAIL when truncating: the yes/no question and
-            # "Answer:" cue must stay at the end
-            if len(e.ids) > self.seq_len:
-                row = e.ids[: self.seq_len // 3] + e.ids[
-                    -(self.seq_len - self.seq_len // 3) :
-                ]
-            ids[b, : len(row)] = row
-            mask[b, : len(row)] = 1
-        return ids, mask
+        # keep the prompt TAIL when truncating: the yes/no question and
+        # "Answer:" cue must stay at the end. Shared with the serving
+        # encoder (models/tokenizer.headtail_pack) so train and serve can
+        # never drift again — the r4 rejection leak was exactly that drift.
+        from rust_local_rag_tpu.models.tokenizer import headtail_pack
+
+        rows = [e.ids for e in self.tk.encode_batch(prompts)]
+        return headtail_pack(rows, self.seq_len, self.pad_id)
 
     def batch(self, batch_size: int):
         """-> (pos_ids, pos_mask, neg_ids, neg_mask), each [B, L]: the SAME
@@ -407,6 +430,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         "restores the v10-and-earlier random pairing)",
     )
     ap.add_argument(
+        "--readme-corpus", type=int, default=1,
+        help="1 (default) mixes wheel-README prose (corpus.harvest_readmes) "
+        "into the training corpus — the authored-manual register the "
+        "docstring harvest lacks and the one serving corpora are written "
+        "in; 0 restores the docstring-only corpus",
+    )
+    ap.add_argument(
         "--paraphrase-frac", type=float, default=0.0,
         help="fraction of positive queries rewritten by "
         "training/paraphrase.py (synonym substitution + question "
@@ -455,6 +485,18 @@ def main(argv: Optional[List[str]] = None) -> None:
             ]
     else:
         paragraphs = harvest(exclude_hashes=exclude)
+    if args.readme_corpus:
+        from rust_local_rag_tpu.training.corpus import (
+            harvest_readmes,
+            normalized_hash,
+        )
+
+        readmes = harvest_readmes(
+            exclude_hashes=exclude,
+            already_seen={normalized_hash(p) for p in paragraphs},
+        )
+        print(f"+{len(readmes)} readme (authored-style) paragraphs")
+        paragraphs = paragraphs + readmes
     print(f"{len(paragraphs)} paragraphs")
 
     rng = np.random.default_rng(args.seed)
@@ -725,6 +767,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         metadata={
             "reranker_config": cfg.to_json(),
             "trained_steps": str(best_step),
+            # serving reads this to encode judge prompts at the trained
+            # length with the trained truncation (models/reranker.py)
+            "train_seq_len": str(args.seq_len),
         },
         half=True,
     )

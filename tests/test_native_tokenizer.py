@@ -127,6 +127,42 @@ def test_encode_batch_truncation_at_max_len(pair):
     assert hf.tokenize(long) == nat.tokenize(long)
 
 
+def test_encode_batch_headtail_parity(pair):
+    """The judge encoding (head/tail truncation at the trained length) must
+    be byte-identical across backends AND match the trainer's historical
+    scheme: head seq_len//3 + tail remainder, fixed [B, seq_len] pad."""
+    hf, nat = pair
+    texts = EDGE_CASES + ["word%d " % i * 300 for i in range(3)]
+    for L in (64, 192):
+        ia, ma = hf.encode_batch_headtail(texts, L)
+        ib, mb = nat.encode_batch_headtail(texts, L)
+        assert ia.shape == (len(texts), L)
+        assert np.array_equal(ia, ib) and np.array_equal(ma, mb)
+    # truncation layout: head third + tail remainder of the raw ids
+    long = "alpha beta gamma " * 200
+    full = hf._tok.encode(long).ids
+    ids, mask = hf.encode_batch_headtail([long], 192)
+    assert mask[0].sum() == 192
+    assert ids[0, :64].tolist() == full[:64]
+    assert ids[0, 64:].tolist() == full[-128:]
+
+
+def test_headtail_matches_trainer_encode(pair):
+    """training/train_reranker.PromptPairBatcher._encode and the serving
+    tokenizer.encode_batch_headtail must produce identical bytes — the r4
+    rejection-gate leak was exactly this pair drifting apart."""
+    from rust_local_rag_tpu.models.tokenizer import headtail_pack
+
+    hf, _ = pair
+    prompts = ["Query: q%d\n\nChunk:\n%s\n\nAnswer:" % (i, "tok " * (i * 60))
+               for i in range(6)]
+    pad = hf._tok.token_to_id("[PAD]")
+    rows = [e.ids for e in hf._tok.encode_batch(prompts)]
+    ids_t, mask_t = headtail_pack(rows, 192, pad)
+    ids_s, mask_s = hf.encode_batch_headtail(prompts, 192)
+    assert np.array_equal(ids_t, ids_s) and np.array_equal(mask_t, mask_s)
+
+
 def test_vocab_size_and_tok_surface(pair):
     hf, nat = pair
     assert nat.vocab_size == hf.vocab_size
