@@ -157,6 +157,7 @@ class PendingJudged:
     nq: int
     thr: float                  # judge yes-probability floor
     cos_floor: float            # dense-cosine floor (joint gate)
+    q_floor: float              # query-level floor on the best judged yes-p
     init_w: float               # resolved initial-score blend weight
 
 
@@ -342,6 +343,22 @@ class RagEngine:
             )
         except ValueError:
             self._rejection_cosine_floor = 0.0
+        # QUERY-level rejection floor (round 4): when > 0 and the judge ran,
+        # a query whose BEST judged yes-probability over the whole judged
+        # head falls below the floor returns NOTHING — "is this query
+        # answerable from the corpus at all" — while queries that pass keep
+        # their full result list. Decouples junk rejection from the
+        # per-candidate gate's gold-kill: the per-candidate threshold
+        # traded dev rejection 0.80 against hit@5 0.797, the query floor
+        # reached the same rejection at hit@5 0.830 on the same judge
+        # (round-4 offline sweep over the dev retrieval heads).
+        try:
+            self._rejection_query_floor = float(
+                _os.environ.get("RAG_TPU_REJECTION_QUERY_FLOOR", "0")
+                or 0.0
+            )
+        except ValueError:
+            self._rejection_query_floor = 0.0
         self.load_from_disk()
 
     # ----- lifecycle -------------------------------------------------------
@@ -540,6 +557,7 @@ class RagEngine:
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_query_floor: Optional[float] = None,
     ) -> List[SearchResult]:
         """Two-stage retrieval (rag_engine.rs:470-701)."""
         return self.search_batch(
@@ -549,6 +567,7 @@ class RagEngine:
             rejection_threshold=rejection_threshold,
             use_reranker=use_reranker,
             rejection_cosine_floor=rejection_cosine_floor,
+            rejection_query_floor=rejection_query_floor,
         )[0]
 
     def _prep_queries(self, queries: List[str], nq_pad: int):
@@ -612,6 +631,7 @@ class RagEngine:
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_query_floor: Optional[float] = None,
     ):
         """Batched two-stage retrieval: the whole query batch rides ONE
         fused first-stage device program and ONE batched rerank forward —
@@ -905,6 +925,19 @@ class RagEngine:
             if rejection_cosine_floor is not None
             else self._rejection_cosine_floor
         )
+        q_floor = (
+            rejection_query_floor
+            if rejection_query_floor is not None
+            else self._rejection_query_floor
+        )
+        if q_floor > 0.0 and self.reranker is not None and use_reranker:
+            # QUERY-level rejection: the best judged yes-probability over
+            # the WHOLE judged pool (not just the returned top_k) decides
+            # whether the query is answerable at all (see __init__ note)
+            for qi in range(nq):
+                judged = [r.relevance for r in per_query_reranked[qi]]
+                if judged and max(judged) < q_floor:
+                    outputs[qi] = []
         if thr > 0.0 or cos_floor > 0.0:
             # Confidence = the reranker's absolute yes-probability when the
             # result was reranked (the trained yes/no judge is calibrated
@@ -1180,6 +1213,7 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
         rejection_threshold: Optional[float] = None,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_query_floor: Optional[float] = None,
     ) -> "PendingJudged":
         """Phase 2 of the judge-gated lane: fetch the first stage, build
         judge prompts for every valid head row, and DISPATCH the batched
@@ -1229,6 +1263,11 @@ class RagEngine:
                 flat_qi.append(qi)
                 flat_rank.append(rank)
         handle = self.reranker.dispatch_prompts(prompts)
+        q_floor = (
+            rejection_query_floor
+            if rejection_query_floor is not None
+            else self._rejection_query_floor
+        )
         return PendingJudged(
             col=col,
             handle=handle,
@@ -1237,6 +1276,7 @@ class RagEngine:
             nq=nq,
             thr=max(thr, 0.0),
             cos_floor=max(cos_floor, 0.0),
+            q_floor=max(q_floor, 0.0),
             init_w=resolved.initial,
         )
 
@@ -1258,6 +1298,19 @@ class RagEngine:
             no[pj.flat_qi, pj.flat_rank] = arr[:, 2]
         vals = col.vals[:nq]
         valid = (col.slots[:nq] >= 0) & np.isfinite(vals)
+        if pj.q_floor > 0.0:
+            # QUERY-level rejection (engine __init__ note): a query whose
+            # best judged yes-p over the whole head is below the floor
+            # returns nothing. Invalidating the slot row rejects it in
+            # every consumer — the native rr serializer and the object
+            # materializer both skip slot < 0.
+            judged_max = np.max(
+                np.where(valid, rr, -np.inf), axis=1, initial=-np.inf
+            )
+            rejected = np.isfinite(judged_max) & (judged_max < pj.q_floor)
+            if rejected.any():
+                col.slots[:nq][rejected] = -1
+                valid = valid & ~rejected[:, None]
         vmax = np.max(
             np.where(valid, vals, -np.inf), axis=1, initial=-np.inf
         )
@@ -1444,6 +1497,7 @@ class RagEngine:
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_query_floor: Optional[float] = None,
     ) -> List[List[SearchResult]]:
         """Batched MMR-diversified search: one device pass for the pool
         retrieval of the whole batch, per-query MMR selection."""
@@ -1452,6 +1506,7 @@ class RagEngine:
             "rejection_threshold": rejection_threshold,
             "use_reranker": use_reranker,
             "rejection_cosine_floor": rejection_cosine_floor,
+            "rejection_query_floor": rejection_query_floor,
         }
         if diversity_factor == 0.0:
             return self.search_batch(queries, top_k, weights, **_kw)

@@ -58,6 +58,7 @@ class _Item:
     use_reranker: bool = True
     want_payload: bool = False
     rejection_cosine_floor: Optional[float] = None
+    rejection_query_floor: Optional[float] = None
 
 
 def _deliver(pairs: List[Tuple[object, object]]) -> None:
@@ -147,6 +148,7 @@ class SearchBatcher:
         use_reranker: bool = True,
         want_payload: bool = False,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_query_floor: Optional[float] = None,
         afuture: Optional[object] = None,
         loop: Optional[object] = None,
     ) -> object:
@@ -166,6 +168,7 @@ class SearchBatcher:
             rejection_threshold,
             bool(use_reranker),
             rejection_cosine_floor,
+            rejection_query_floor,
         )
         item = _Item(
             key=key,
@@ -175,6 +178,7 @@ class SearchBatcher:
             use_reranker=bool(use_reranker),
             want_payload=want_payload,
             rejection_cosine_floor=rejection_cosine_floor,
+            rejection_query_floor=rejection_query_floor,
             future=fut,
             loop=loop if afuture is not None else None,
         )
@@ -192,6 +196,7 @@ class SearchBatcher:
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_query_floor: Optional[float] = None,
     ):
         """Blocking search (call from executor threads)."""
         return self.submit(
@@ -199,6 +204,7 @@ class SearchBatcher:
             rejection_threshold=rejection_threshold,
             use_reranker=use_reranker,
             rejection_cosine_floor=rejection_cosine_floor,
+            rejection_query_floor=rejection_query_floor,
         ).result()
 
     # ----- worker -----
@@ -446,6 +452,7 @@ class SearchBatcher:
                     weights=it0.weights,
                     rejection_threshold=it0.rejection_threshold,
                     rejection_cosine_floor=it0.rejection_cosine_floor,
+                    rejection_query_floor=it0.rejection_query_floor,
                 )
                 jc = self.engine.fetch_judged(pj)
             except Exception:  # noqa: BLE001 — judge lane must degrade
@@ -501,6 +508,7 @@ class SearchBatcher:
                 rejection_threshold=batch[0].rejection_threshold,
                 use_reranker=batch[0].use_reranker,
                 rejection_cosine_floor=batch[0].rejection_cosine_floor,
+                rejection_query_floor=batch[0].rejection_query_floor,
             )
         # non-hot lanes resolve to objects even under want_payload; the
         # HTTP layer falls back to json.dumps for those

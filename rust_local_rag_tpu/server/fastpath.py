@@ -195,6 +195,7 @@ class FastPathProtocol(asyncio.Protocol):
                 params["diversity"],
                 params["weights"],
                 rejection_threshold=params["rejection_threshold"],
+                rejection_query_floor=params["rejection_query_floor"],
                 use_reranker=params["use_reranker"],
                 want_payload=True,
                 rejection_cosine_floor=params["rejection_cosine_floor"],

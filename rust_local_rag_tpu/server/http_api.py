@@ -78,6 +78,7 @@ class AppContext:
         rejection_threshold: Optional[float] = None,
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_query_floor: Optional[float] = None,
     ):
         return self.batcher.search(
             query,
@@ -87,6 +88,7 @@ class AppContext:
             rejection_threshold=rejection_threshold,
             use_reranker=use_reranker,
             rejection_cosine_floor=rejection_cosine_floor,
+            rejection_query_floor=rejection_query_floor,
         )
 
     def list_documents(self):
@@ -211,6 +213,13 @@ def parse_search_params(body: dict):
         return None, "invalid rejection_cosine_floor"
     if cos_floor is not None and not math.isfinite(cos_floor):
         return None, "invalid rejection_cosine_floor"
+    try:
+        q_floor = body.get("rejection_query_floor")
+        q_floor = None if q_floor is None else float(q_floor)
+    except (TypeError, ValueError):
+        return None, "invalid rejection_query_floor"
+    if q_floor is not None and not math.isfinite(q_floor):
+        return None, "invalid rejection_query_floor"
     return {
         "query": query,
         "top_k": top_k,
@@ -219,6 +228,7 @@ def parse_search_params(body: dict):
         "rejection_threshold": rejection,
         "use_reranker": use_reranker,
         "rejection_cosine_floor": cos_floor,
+        "rejection_query_floor": q_floor,
     }, None
 
 
@@ -258,6 +268,7 @@ def build_app(ctx: AppContext) -> web.Application:
                 use_reranker=params["use_reranker"],
                 want_payload=True,
                 rejection_cosine_floor=params["rejection_cosine_floor"],
+                rejection_query_floor=params["rejection_query_floor"],
                 afuture=fut,
                 loop=loop,
             )

@@ -97,6 +97,15 @@ TOOLS = [
                         "configuration."
                     ),
                 },
+                "rejection_query_floor": {
+                    "type": "number",
+                    "description": (
+                        "QUERY-level rejection: when the judge runs and its "
+                        "best yes-probability over the judged pool is below "
+                        "this floor, the whole query returns no results. "
+                        "Default: server configuration."
+                    ),
+                },
             },
             "required": ["query"],
         },
@@ -235,6 +244,8 @@ class McpHandler:
             rejection = None if rejection is None else float(rejection)
             cos_floor = args.get("rejection_cosine_floor")
             cos_floor = None if cos_floor is None else float(cos_floor)
+            q_floor = args.get("rejection_query_floor")
+            q_floor = None if q_floor is None else float(q_floor)
             raw_w = args.get("weights")
             if raw_w is not None and not isinstance(raw_w, dict):
                 raise ValueError("weights must be an object")
@@ -245,7 +256,9 @@ class McpHandler:
         # NaN slides through a min/max clamp unchanged
         if not math.isfinite(diversity) or (
             rejection is not None and not math.isfinite(rejection)
-        ) or (cos_floor is not None and not math.isfinite(cos_floor)):
+        ) or (cos_floor is not None and not math.isfinite(cos_floor)) or (
+            q_floor is not None and not math.isfinite(q_floor)
+        ):
             raise McpError(-32602, "Invalid params: non-finite number")
         diversity = min(max(diversity, 0.0), 1.0)
         use_reranker = args.get("use_reranker", True)
@@ -254,7 +267,7 @@ class McpHandler:
         try:
             results = self.ctx.search(
                 query, top_k, diversity, weights, rejection, use_reranker,
-                cos_floor,
+                cos_floor, q_floor,
             )
         except Exception as e:  # noqa: BLE001
             return _text_result(f"Search error: {e}", is_error=True)

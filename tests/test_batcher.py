@@ -27,6 +27,7 @@ class RecordingEngine:
         rejection_threshold=None,
         use_reranker=True,
         rejection_cosine_floor=None,
+        rejection_query_floor=None,
     ):
         with self.lock:
             self.batches.append(list(queries))

@@ -47,7 +47,7 @@ def engine(tmp_path_factory):
     return eng
 
 
-def _judged_columnar(engine, queries, top_k, thr=None, cosf=None):
+def _judged_columnar(engine, queries, top_k, thr=None, cosf=None, qf=None):
     pending = engine.dispatch_search(
         queries, top_k, GATE_W,
         rejection_threshold=0.0, rejection_cosine_floor=0.0,
@@ -56,6 +56,7 @@ def _judged_columnar(engine, queries, top_k, thr=None, cosf=None):
     pj = engine.judge_columnar(
         pending, queries, weights=GATE_W,
         rejection_threshold=thr, rejection_cosine_floor=cosf,
+        rejection_query_floor=qf,
     )
     return engine.fetch_judged(pj)
 
@@ -101,6 +102,57 @@ def test_judged_lane_joint_gate_matches_object_lane(engine):
         if len(hot) < 3:
             dropped_somewhere = True
     assert dropped_somewhere, "gate never fired — thresholds too lax to test"
+
+
+def test_query_floor_object_lane(engine):
+    """QUERY-level rejection: a floor on the BEST judged yes-p rejects the
+    whole junk query while real queries keep their FULL result list — no
+    per-candidate filtering (the per-candidate threshold's gold-kill is
+    exactly what this mode exists to avoid)."""
+    junk = "zxqv wvut qqqq junk asdf"
+    queries = QUERIES + [junk]
+    ungated = engine.search_batch(queries, 3, GATE_W, use_reranker=True)
+    junk_best = max(r.reranker_score for r in ungated[-1])
+    floor = junk_best + 1e-4
+    gated = engine.search_batch(
+        queries, 3, GATE_W, use_reranker=True,
+        rejection_query_floor=floor,
+    )
+    assert gated[-1] == []
+    survivors = 0
+    for qi in range(len(QUERIES)):
+        best = max(r.reranker_score for r in ungated[qi])
+        if best >= floor:
+            # full list survives — including candidates BELOW the floor
+            assert [r.chunk_id for r in gated[qi]] == [
+                r.chunk_id for r in ungated[qi]
+            ]
+            survivors += 1
+        else:
+            assert gated[qi] == []
+    assert survivors >= 2, "floor rejected almost everything — vacuous test"
+    # floor is inert without the judge (no reranker scores to read)
+    off = engine.search_batch(
+        queries, 3, GATE_W, use_reranker=False,
+        rejection_query_floor=floor,
+    )
+    assert len(off[-1]) > 0
+
+
+def test_judged_lane_query_floor_matches_object_lane(engine):
+    junk = "zxqv wvut qqqq junk asdf"
+    queries = QUERIES + [junk]
+    ungated = engine.search_batch(queries, 3, GATE_W, use_reranker=True)
+    junk_best = max(r.reranker_score for r in ungated[-1])
+    floor = junk_best + 1e-4
+    obj = engine.search_batch(
+        queries, 3, GATE_W, use_reranker=True,
+        rejection_query_floor=floor,
+    )
+    jc = _judged_columnar(engine, queries, 3, qf=floor)
+    assert engine.results_from_judged(jc, len(queries) - 1) == []
+    for qi in range(len(queries)):
+        _assert_result_parity(obj[qi], engine.results_from_judged(jc, qi))
 
 
 def test_judged_lane_not_used_for_nonzero_reranker_weight(engine):
