@@ -1309,6 +1309,9 @@ class RagEngine:
             )
             rejected = np.isfinite(judged_max) & (judged_max < pj.q_floor)
             if rejected.any():
+                if not col.slots.flags.writeable:
+                    # zero-copy fetches from device buffers are read-only
+                    col.slots = np.array(col.slots)
                 col.slots[:nq][rejected] = -1
                 valid = valid & ~rejected[:, None]
         vmax = np.max(
