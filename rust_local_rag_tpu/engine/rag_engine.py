@@ -42,6 +42,7 @@ from rust_local_rag_tpu.ops.hybrid import (
     LEX_WIDTH,
     hybrid_topk,
     hybrid_topk_packed,
+    hybrid_topk_packed_mmr,
     hybrid_topk_quantized,
     hybrid_topk_quantized_packed,
     lex_width_for,
@@ -1129,6 +1130,80 @@ class RagEngine:
         return PendingSearch(
             out=out, nq=nq, k=k,
             floor=max(thr, cosf, 0.0),
+            q_emb=q_emb, lex_slots=lex_slots, lex_vals=lex_vals,
+            resolved=resolved, kb=_bucket_k(k),
+        )
+
+    def supports_columnar_mmr(self) -> bool:
+        """The fused MMR hot lane covers single-program serving over
+        f32/bf16 stores. Quantized stores keep the object lane: the int8
+        exactness certificate's escalation re-runs the full-f32 packed
+        program, whose output planes are score-ordered — patching them
+        into an MMR-ordered fetch would be wrong, and the capacity-mode
+        MMR lane has not been the bottleneck."""
+        return self._mesh is None and not self.store.quantized
+
+    def dispatch_search_mmr(
+        self,
+        queries: List[str],
+        top_k: int,
+        diversity_factor: float,
+        weights: Optional[QueryWeights] = None,
+        rejection_threshold: Optional[float] = None,
+        rejection_cosine_floor: Optional[float] = None,
+    ) -> Optional["PendingSearch"]:
+        """First half of the MMR hot lane: host prep + ONE async device
+        dispatch covering pool selection, floor gate, candidate gather
+        and greedy MMR (ops/hybrid.hybrid_topk_packed_mmr) — the fetch
+        (fetch_columnar) returns the packed planes already in MMR order,
+        so the batcher pipelines diversity search exactly like the plain
+        hot lane. Returns None when the lane does not apply (mesh,
+        quantized store, empty store). Reference search mode:
+        rag_engine.rs:717-759."""
+        if (
+            not self.supports_columnar_mmr()
+            or len(self.store) == 0
+            or not queries
+        ):
+            return None
+        resolved = ResolvedWeights.from_query_weights(weights)
+        top_k = max(top_k, 1)
+        diversity_factor = min(max(diversity_factor, 0.0), 1.0)
+        nq = len(queries)
+        nq_pad = _bucket_batch(nq)
+        pool = min(len(self.store), max(top_k * 3, top_k + 10))
+        q_emb = self._prep_queries(queries, nq_pad)
+        # the object lane's diversity path sizes the lexical list by the
+        # POOL (search_batch pool request -> pool*5 hits), so parity
+        # requires the same here
+        lex_slots, lex_vals = self._prep_lexical(queries, pool, nq_pad)
+        k = min(len(self.store), top_k)
+        thr = (
+            rejection_threshold
+            if rejection_threshold is not None
+            else self._rejection_threshold
+        )
+        cosf = (
+            rejection_cosine_floor
+            if rejection_cosine_floor is not None
+            else self._rejection_cosine_floor
+        )
+        floor = max(thr, cosf, 0.0)
+        out = hybrid_topk_packed_mmr(
+            q_emb,
+            self.store.corpus(),
+            self.store.valid_mask(),
+            jnp.asarray(lex_slots),
+            jnp.asarray(lex_vals),
+            jnp.float32(resolved.embedding),
+            jnp.float32(resolved.lexical),
+            jnp.float32(diversity_factor),
+            jnp.float32(floor),
+            _bucket_k(pool),
+            _bucket_k(k),
+        )
+        return PendingSearch(
+            out=out, nq=nq, k=k, floor=floor,
             q_emb=q_emb, lex_slots=lex_slots, lex_vals=lex_vals,
             resolved=resolved, kb=_bucket_k(k),
         )

@@ -316,6 +316,83 @@ def hybrid_topk_packed(
     return jnp.stack([bits(vals), bits(emb_k), bits(lex_k), idx], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("pool_k", "out_k"))
+def hybrid_topk_packed_mmr(
+    queries: jax.Array,
+    corpus: jax.Array,
+    valid_mask: jax.Array,
+    lex_slots: jax.Array,
+    lex_vals: jax.Array,
+    w_embedding: jax.Array,
+    w_lexical: jax.Array,
+    diversity: jax.Array,
+    emb_floor: jax.Array,
+    pool_k: int,
+    out_k: int,
+):
+    """Diversity (MMR) search as ONE device program with ONE packed fetch.
+
+    Chains, entirely on device: first-stage hybrid pool selection
+    (pool_k candidates) -> confidence-floor gate -> pool compaction ->
+    candidate-embedding gather -> vmapped greedy MMR
+    (ops/mmr.mmr_select) -> plane reordering into the hot lane's packed
+    [Q, 4, out_k] int32 layout (see hybrid_topk_packed for the carrier
+    rationale). The object lane (engine.search_with_diversity_batch)
+    makes three device trips for the same work (pool search, embedding
+    gather, MMR select) — each ~40-50 ms through a remote-attached TPU
+    tunnel — plus per-result host object churn in between; this is the
+    MMR analogue of the rerank-off hot lane.
+
+    Semantics match the object lane exactly (reference behavior
+    rag_engine.rs:717-759): the confidence floor is applied to the POOL
+    before MMR (search_batch gates its outputs, then MMR selects from
+    survivors), the first pick is the top-ranked survivor, and returned
+    scores are the original blend scores in MMR order. Gating before
+    selection requires compacting survivors to the front (mmr_select's
+    valid_count is a prefix length) — a stable [Q, P] argsort on a
+    gated-to-the-end key, cheap next to the corpus scan.
+
+    emb_floor <= 0 disables the gate (a cosine can be legitimately
+    negative, so 0.0 must not drop candidates).
+    """
+    from rust_local_rag_tpu.ops.mmr import mmr_select
+
+    vals, emb_k, lex_k, idx = hybrid_topk.__wrapped__(
+        queries, corpus, valid_mask, lex_slots, lex_vals,
+        w_embedding, w_lexical, pool_k,
+    )
+    p = vals.shape[1]
+    keep = (idx >= 0) & jnp.isfinite(vals)
+    keep = keep & jnp.where(emb_floor > 0.0, emb_k >= emb_floor, True)
+
+    # Stable compaction: survivors keep their relative (descending-score)
+    # order at the front; gated candidates sink to the tail.
+    rank = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    order = jnp.argsort(jnp.where(keep, rank, rank + p), axis=1)
+    perm = lambda a: jnp.take_along_axis(a, order, axis=1)  # noqa: E731
+    vals_c, emb_c, lex_c, idx_c = perm(vals), perm(emb_k), perm(lex_k), perm(idx)
+    counts = jnp.sum(keep.astype(jnp.int32), axis=1)
+    tail = rank >= counts[:, None]
+    vals_c = jnp.where(tail, NEG_INF, vals_c)
+    idx_c = jnp.where(tail, -1, idx_c)
+
+    cand = jnp.take(corpus, jnp.where(idx_c >= 0, idx_c, 0), axis=0)
+    lam = jnp.float32(diversity)
+    sel = jax.vmap(
+        lambda e, r, v: mmr_select.__wrapped__(e, r, out_k, lam, valid_count=v)
+    )(cand, vals_c, counts)  # [Q, out_k], -1 for unused slots
+
+    ok = sel >= 0
+    safe = jnp.where(ok, sel, 0)
+    take = lambda a: jnp.take_along_axis(a, safe, axis=1)  # noqa: E731
+    vals_o = jnp.where(ok, take(vals_c), NEG_INF)
+    emb_o = jnp.where(ok, take(emb_c), NEG_INF)
+    lex_o = jnp.where(ok, take(lex_c), 0.0)
+    idx_o = jnp.where(ok, take(idx_c), -1)
+    bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+    return jnp.stack([bits(vals_o), bits(emb_o), bits(lex_o), idx_o], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "candidates"))
 def hybrid_topk_quantized_packed(
     queries: jax.Array,

@@ -335,6 +335,20 @@ class SearchBatcher:
             and self.engine.supports_columnar()
         )
 
+    def _mmr_hot_lane(self, batch: List[_Item]) -> bool:
+        """Fused-MMR hot lane: diversity search with reranking off rides
+        ONE device program (pool select + gate + gather + greedy MMR) and
+        one packed fetch, pipelined across batches like the plain hot
+        lane (VERDICT r4 weak #6: the object lane's three device trips +
+        per-result churn left MMR ~10x off the plain lane)."""
+        diversity = batch[0].key[1]
+        return (
+            diversity > 0.0
+            and not batch[0].use_reranker
+            and self.engine.supports_columnar()
+            and getattr(self.engine, "supports_columnar_mmr", lambda: False)()
+        )
+
     def _judge_lane(self, batch: List[_Item]) -> bool:
         """Judge-gated hot lane: reranking ON with blend weight 0 (the
         shipped quality config — judge as a rejection gate over the
@@ -377,6 +391,8 @@ class SearchBatcher:
         try:
             if self._hot_lane(batch):
                 self._execute_hot(batch, top_k)
+            elif self._mmr_hot_lane(batch):
+                self._execute_mmr_hot(batch, top_k)
             elif self._judge_lane(batch):
                 self._execute_judged(batch, top_k)
             else:
@@ -411,6 +427,44 @@ class SearchBatcher:
             payloads = None
             if ser is not None and any(it.want_payload for it in batch):
                 # ONE ctypes crossing serializes the whole batch
+                payloads = ser.serialize_batch(
+                    col.slots[:nq], col.vals[:nq],
+                    col.emb[:nq], col.lex[:nq],
+                    floor=col.floor,
+                )
+            done: List[Tuple[_Item, object]] = []
+            for qi, it in enumerate(batch):
+                if it.want_payload and payloads is not None:
+                    done.append((it, payloads[qi]))
+                else:
+                    done.append(
+                        (it, self.engine.results_from_columnar(col, qi))
+                    )
+            self._complete(done)
+
+    def _execute_mmr_hot(self, batch: List[_Item], top_k: int) -> None:
+        """MMR analogue of _execute_hot: one fused dispatch, one packed
+        fetch, native batch serialization; the planes come back already
+        diversity-ordered so everything downstream of fetch is shared."""
+        queries = [it.query for it in batch]
+        it0 = batch[0]
+        with self.engine_lock.read():
+            pending = self.engine.dispatch_search_mmr(
+                queries,
+                top_k,
+                it0.key[1],
+                it0.weights,
+                rejection_threshold=it0.rejection_threshold,
+                rejection_cosine_floor=it0.rejection_cosine_floor,
+            )
+            if pending is None:
+                self._execute_general(batch, top_k)
+                return
+            col = self.engine.fetch_columnar(pending)
+            ser = self._serializer()
+            nq = len(batch)
+            payloads = None
+            if ser is not None and any(it.want_payload for it in batch):
                 payloads = ser.serialize_batch(
                     col.slots[:nq], col.vals[:nq],
                     col.emb[:nq], col.lex[:nq],
