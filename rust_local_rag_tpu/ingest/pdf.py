@@ -1,10 +1,14 @@
-"""PDF text extraction with a two-tier strategy.
+"""PDF text extraction with a tiered strategy.
 
 The reference tries a pure-Rust extractor (lopdf) first and falls back to the
-`pdftotext` binary (rag_engine.rs:949-1090). Here tier 1 is a built-in pure-
-Python extractor — xref-free object scan, FlateDecode, content-stream text
-operators — and tier 2 shells out to `pdftotext -layout -enc UTF-8` when the
-binary exists.
+`pdftotext` binary (rag_engine.rs:949-1090). Here tier 0 is a native C++
+extractor (native/pdftext.cpp, byte-identical output to tier 1 — the parity
+suite in tests/test_native_pdf.py holds both to the same corpus), tier 1 is
+a built-in pure-Python extractor — xref-free object scan, FlateDecode,
+content-stream text operators — and tier 2 shells out to
+`pdftotext -layout -enc UTF-8` when the binary exists. The native tier keeps
+extraction off the critical path of the pipelined full-ingest loop on
+single-core hosts (RAG_TPU_NATIVE_PDF=0 disables it).
 
 Page handling: pages are emitted in page-tree order separated by form-feed
 (\\f), which is what the downstream chunker uses for 1-based page numbers
@@ -31,7 +35,10 @@ class PdfExtractionError(Exception):
 
 
 def extract_pdf_text(data: bytes) -> str:
-    """Two-tier extraction; raises PdfExtractionError when both tiers fail."""
+    """Tiered extraction; raises PdfExtractionError when every tier fails."""
+    native = _native_extract(data)
+    if native is not None and native.strip():
+        return native
     try:
         text = _builtin_extract(data)
         if text.strip():
@@ -55,6 +62,73 @@ def extract_pdf_text(data: bytes) -> str:
             f"PDF extraction failed: built-in error: {builtin_err}, "
             f"pdftotext error: {pdftotext_err}"
         ) from pdftotext_err
+
+
+# ---- native tier ---------------------------------------------------------
+
+_NATIVE_LIB = None
+_NATIVE_BROKEN = False
+
+
+def _load_native():
+    """librag_native.so pdf_extract_text, or None (missing/disabled)."""
+    global _NATIVE_LIB, _NATIVE_BROKEN
+    if _NATIVE_BROKEN or os.environ.get("RAG_TPU_NATIVE_PDF", "1") in (
+        "0", "false",
+    ):
+        return None
+    if _NATIVE_LIB is not None:
+        return _NATIVE_LIB
+    import ctypes
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "librag_native.so",
+    )
+    try:
+        lib = ctypes.CDLL(path)
+        lib.pdf_extract_text.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.pdf_extract_text.restype = ctypes.c_int
+        lib.pdf_free_text.argtypes = [ctypes.c_char_p]
+        lib.pdf_free_text.restype = None
+        _NATIVE_LIB = lib
+        return lib
+    except (OSError, AttributeError):
+        _NATIVE_BROKEN = True
+        return None
+
+
+def _native_extract(data: bytes) -> Optional[str]:
+    """Tier-0 native extraction; None on any failure (caller falls back to
+    the pure-Python tier, which reports the real parse error)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    out = ctypes.c_char_p()
+    out_len = ctypes.c_int64()
+    rc = lib.pdf_extract_text(
+        data, len(data), ctypes.byref(out), ctypes.byref(out_len)
+    )
+    if rc != 0:
+        return None
+    try:
+        raw = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.pdf_free_text(out)
+    try:
+        text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    logger.info("PDF extracted using native backend: %d chars", len(text))
+    return text
 
 
 def _pdftotext_extract(data: bytes) -> str:
