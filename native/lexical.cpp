@@ -411,6 +411,41 @@ int64_t bm25_compile_all(void* h) {
     return built;
 }
 
+// IDF-weighted unseen-term mass of a query: the share of the query's
+// total idf weight carried by terms the index has NEVER seen (df == 0),
+// where an unseen term is assigned the maximum idf ln((N+0.5)/0.5) —
+// the limit of the BM25 idf formula as df -> 0. A query whose informative
+// terms are absent from the whole corpus cannot be grounded by retrieval,
+// which makes this the engine-level out-of-domain signal the rejection
+// gate pairs with the dense-cosine ceiling (rag_engine.py joint gate).
+// `toks` is '\x01'-joined pre-tokenized text; duplicates count once.
+// Returns 0.0 for an empty query or an empty index (never rejects).
+float bm25_unseen_mass(void* h, const char* toks, int64_t len) {
+    Index* idx = (Index*)h;
+    std::vector<std::string> tokens;
+    split_pretokenized(toks, (size_t)len, tokens);
+    if (tokens.empty() || idx->total_docs <= 0) return 0.0f;
+    std::sort(tokens.begin(), tokens.end());
+    tokens.erase(std::unique(tokens.begin(), tokens.end()), tokens.end());
+    const double n_docs = (double)idx->total_docs;
+    const double idf_max = std::log((n_docs + 0.5) / 0.5);
+    double num = 0.0, den = 0.0;
+    for (const auto& t : tokens) {
+        auto it = idx->postings.find(t);
+        double df = (it == idx->postings.end())
+                        ? 0.0
+                        : (double)it->second.size();
+        double idf = df > 0.0
+                         ? std::max(
+                               std::log((n_docs - df + 0.5) / (df + 0.5)),
+                               0.0)
+                         : idf_max;
+        den += idf;
+        if (df == 0.0) num += idf;
+    }
+    return den > 0.0 ? (float)(num / den) : 0.0f;
+}
+
 // Bulk-drop any slot NOT present in `valid` (sorted ascending, nv entries).
 void bm25_drop_stale(void* h, const int64_t* valid, int64_t nv) {
     Index* idx = (Index*)h;

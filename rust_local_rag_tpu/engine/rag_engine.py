@@ -144,6 +144,12 @@ class PendingSearch:
     lex_vals: Optional[np.ndarray] = None
     resolved: Optional[ResolvedWeights] = None
     kb: int = 0
+    # joint unseen-term gate (computed host-side at dispatch, applied at
+    # fetch): per-query IDF-weighted unseen-term mass, and the dense-cosine
+    # ceiling it pairs with. None = gate off.
+    unseen: Optional[np.ndarray] = None
+    unseen_mass: float = 0.0
+    unseen_cos: float = 1.0
 
 
 @dataclass
@@ -360,6 +366,32 @@ class RagEngine:
             )
         except ValueError:
             self._rejection_query_floor = 0.0
+        # JOINT unseen-term gate (round 5): a query is rejected outright
+        # (returns NOTHING) when BOTH (a) the IDF-weighted share of its
+        # terms that the indexed corpus has NEVER seen is >= this mass
+        # threshold, and (b) its best absolute dense cosine over the
+        # retrieval pool is <= RAG_TPU_REJECTION_UNSEEN_COS. Rationale
+        # (scripts/exp_joint_ood.py): neither marginal separates junk from
+        # gold on the scaled dev split — paraphrase gold carries novel
+        # WORDING (high unseen mass) but the trained encoder still places
+        # it near its passage (good cosine), while out-of-domain junk has
+        # novel wording AND no passage to be near. The engine literally
+        # cannot ground terms it has never indexed; pairing that signal
+        # with a cosine ceiling spares paraphrase gold. 0 = off.
+        try:
+            self._rejection_unseen_mass = float(
+                _os.environ.get("RAG_TPU_REJECTION_UNSEEN_MASS", "0")
+                or 0.0
+            )
+        except ValueError:
+            self._rejection_unseen_mass = 0.0
+        try:
+            self._rejection_unseen_cos = float(
+                _os.environ.get("RAG_TPU_REJECTION_UNSEEN_COS", "1.0")
+                or 1.0
+            )
+        except ValueError:
+            self._rejection_unseen_cos = 1.0
         self.load_from_disk()
 
     # ----- lifecycle -------------------------------------------------------
@@ -559,6 +591,8 @@ class RagEngine:
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
         rejection_query_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
     ) -> List[SearchResult]:
         """Two-stage retrieval (rag_engine.rs:470-701)."""
         return self.search_batch(
@@ -569,7 +603,38 @@ class RagEngine:
             use_reranker=use_reranker,
             rejection_cosine_floor=rejection_cosine_floor,
             rejection_query_floor=rejection_query_floor,
+            rejection_unseen_mass=rejection_unseen_mass,
+            rejection_unseen_cos=rejection_unseen_cos,
         )[0]
+
+    def _unseen_gate(
+        self,
+        queries: List[str],
+        rejection_unseen_mass: Optional[float],
+        rejection_unseen_cos: Optional[float],
+    ):
+        """Resolve the joint unseen-term gate (see __init__ note) and
+        compute the per-query IDF-weighted unseen-term mass when active.
+        Returns (mass array | None, mass threshold, cosine ceiling);
+        None means the gate is off. Host-side, ~1 us/query native."""
+        a = (
+            rejection_unseen_mass
+            if rejection_unseen_mass is not None
+            else self._rejection_unseen_mass
+        )
+        b = (
+            rejection_unseen_cos
+            if rejection_unseen_cos is not None
+            else self._rejection_unseen_cos
+        )
+        um = getattr(self.lexical_index, "unseen_mass", None)
+        if a <= 0.0 or um is None:
+            return None, 0.0, 1.0
+        return (
+            np.asarray([um(q) for q in queries], dtype=np.float32),
+            float(a),
+            float(b),
+        )
 
     def _prep_queries(self, queries: List[str], nq_pad: int):
         """Query embeddings for a padded batch: stay ON DEVICE when the
@@ -633,6 +698,8 @@ class RagEngine:
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
         rejection_query_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
     ):
         """Batched two-stage retrieval: the whole query batch rides ONE
         fused first-stage device program and ONE batched rerank forward —
@@ -818,6 +885,24 @@ class RagEngine:
             else self._rejection_threshold
         )
 
+        # JOINT unseen-term gate (__init__ note): queries whose informative
+        # terms the corpus has never seen AND whose best pool cosine is
+        # unimpressive return nothing, in every lane of this function.
+        unseen, um_a, um_b = self._unseen_gate(
+            queries, rejection_unseen_mass, rejection_unseen_cos
+        )
+        um_rejected = None
+        if unseen is not None:
+            fin = np.isfinite(vals_b[:, :need_rows]) & (
+                idx_b[:, :need_rows] >= 0
+            )
+            best_e = np.max(
+                np.where(fin, emb_b[:, :need_rows], -np.inf),
+                axis=1,
+                initial=-np.inf,
+            )
+            um_rejected = (unseen >= um_a) & (best_e <= um_b)
+
         if not reranking and not collect_sims:
             # Direct materialization: device rows arrive sorted by combined
             # score, which IS the fallback-fill order (rag_engine.rs:667-698
@@ -833,6 +918,9 @@ class RagEngine:
             meta_for_slot = self.store.meta_for_slot
             outputs = []
             for qi in range(nq):
+                if um_rejected is not None and um_rejected[qi]:
+                    outputs.append([])
+                    continue
                 row_v, row_e, row_l = vals_l[qi], emb_l[qi], lex_l[qi]
                 row_i, row_f = idx_l[qi], finite_l[qi]
                 res: List[SearchResult] = []
@@ -921,6 +1009,10 @@ class RagEngine:
             )
             for qi in range(nq)
         ]
+        if um_rejected is not None:
+            outputs = [
+                [] if um_rejected[qi] else outputs[qi] for qi in range(nq)
+            ]
         cos_floor = (
             rejection_cosine_floor
             if rejection_cosine_floor is not None
@@ -1075,6 +1167,8 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
         rejection_threshold: Optional[float] = None,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
     ) -> Optional["PendingSearch"]:
         """First half of the rerank-off hot lane: host prep + ONE async
         device dispatch, NO blocking fetch. The batcher overlaps the next
@@ -1127,11 +1221,15 @@ class RagEngine:
             if rejection_cosine_floor is not None
             else self._rejection_cosine_floor
         )
+        unseen, um_a, um_b = self._unseen_gate(
+            queries, rejection_unseen_mass, rejection_unseen_cos
+        )
         return PendingSearch(
             out=out, nq=nq, k=k,
             floor=max(thr, cosf, 0.0),
             q_emb=q_emb, lex_slots=lex_slots, lex_vals=lex_vals,
             resolved=resolved, kb=_bucket_k(k),
+            unseen=unseen, unseen_mass=um_a, unseen_cos=um_b,
         )
 
     def supports_columnar_mmr(self) -> bool:
@@ -1151,6 +1249,8 @@ class RagEngine:
         weights: Optional[QueryWeights] = None,
         rejection_threshold: Optional[float] = None,
         rejection_cosine_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
     ) -> Optional["PendingSearch"]:
         """First half of the MMR hot lane: host prep + ONE async device
         dispatch covering pool selection, floor gate, candidate gather
@@ -1202,10 +1302,14 @@ class RagEngine:
             _bucket_k(pool),
             _bucket_k(k),
         )
+        unseen, um_a, um_b = self._unseen_gate(
+            queries, rejection_unseen_mass, rejection_unseen_cos
+        )
         return PendingSearch(
             out=out, nq=nq, k=k, floor=floor,
             q_emb=q_emb, lex_slots=lex_slots, lex_vals=lex_vals,
             resolved=resolved, kb=_bucket_k(k),
+            unseen=unseen, unseen_mass=um_a, unseen_cos=um_b,
         )
 
     def fetch_columnar(self, pending: "PendingSearch") -> "ColumnarResults":
@@ -1224,6 +1328,24 @@ class RagEngine:
                     np.flatnonzero(~flags), (vals, emb, lex, idx),
                     pending.k,
                 )
+        if pending.unseen is not None:
+            # JOINT unseen-term gate (__init__ note), applied ONCE here so
+            # every columnar lane (plain, MMR, judged) inherits it — in
+            # the judged lane this also spares the junk query its judge
+            # forward. Invalidating the slot row rejects the query in
+            # every consumer (serializer and materializers skip slot < 0).
+            nq = pending.nq
+            finite = np.isfinite(vals[:nq]) & (idx[:nq] >= 0)
+            best_e = np.max(
+                np.where(finite, emb[:nq], -np.inf), axis=1, initial=-np.inf
+            )
+            rejected = (pending.unseen[:nq] >= pending.unseen_mass) & (
+                best_e <= pending.unseen_cos
+            )
+            if rejected.any():
+                if not idx.flags.writeable:
+                    idx = np.array(idx)
+                idx[:nq][rejected] = -1
         return ColumnarResults(
             vals=vals, emb=emb, lex=lex, slots=idx,
             floor=pending.floor, store=self.store,
@@ -1576,6 +1698,8 @@ class RagEngine:
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
         rejection_query_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
     ) -> List[List[SearchResult]]:
         """Batched MMR-diversified search: one device pass for the pool
         retrieval of the whole batch, per-query MMR selection."""
@@ -1585,6 +1709,8 @@ class RagEngine:
             "use_reranker": use_reranker,
             "rejection_cosine_floor": rejection_cosine_floor,
             "rejection_query_floor": rejection_query_floor,
+            "rejection_unseen_mass": rejection_unseen_mass,
+            "rejection_unseen_cos": rejection_unseen_cos,
         }
         if diversity_factor == 0.0:
             return self.search_batch(queries, top_k, weights, **_kw)

@@ -180,6 +180,41 @@ class LexicalIndex:
             results = results[:limit]
         return results
 
+    def unseen_mass(self, query: str) -> float:
+        """IDF-weighted share of the query's terms the corpus has NEVER
+        seen (df == 0), each weighted at the limiting idf ln((N+0.5)/0.5).
+
+        A query whose informative terms are absent from the entire indexed
+        corpus cannot be grounded by retrieval — this is the engine-level
+        out-of-domain signal the joint rejection gate pairs with a
+        dense-cosine ceiling (rag_engine.py). 0.0 on an empty query or
+        empty index (never rejects). Duplicate terms count once.
+        """
+        if self.total_docs == 0:
+            return 0.0
+        terms = set(tokenize(query))
+        if not terms:
+            return 0.0
+        idf_max = math.log((self.total_docs + 0.5) / 0.5)
+        num = den = 0.0
+        for term in terms:
+            postings = self.term_postings.get(term)
+            df = float(len(postings)) if postings else 0.0
+            idf = (
+                max(
+                    math.log(
+                        (self.total_docs - df + 0.5) / (df + 0.5)
+                    ),
+                    0.0,
+                )
+                if df
+                else idf_max
+            )
+            den += idf
+            if not df:
+                num += idf
+        return num / den if den else 0.0
+
     def score_slots_into(self, query: str, limit: int, out_slots, out_vals) -> int:
         """Hot-path scoring: write the top-`limit` hits as (store slot,
         score) directly into the caller's int32/f32 row buffers, skipping

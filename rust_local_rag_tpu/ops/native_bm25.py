@@ -66,6 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
         ]
         lib.bm25_score_tokens.restype = ctypes.c_int64
+        lib.bm25_unseen_mass.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.bm25_unseen_mass.restype = ctypes.c_float
     except AttributeError:
         import logging
 
@@ -244,6 +248,14 @@ class NativeLexicalIndex:
         out_slots[:n] = self._scratch_slots[:n]
         out_vals[:n] = self._scratch_vals[:n]
         return n
+
+    def unseen_mass(self, query: str) -> float:
+        """IDF-weighted unseen-term mass (see ops/bm25.LexicalIndex
+        .unseen_mass — identical math, computed in C++): the share of the
+        query's idf weight carried by terms with zero document frequency
+        in the index. The joint rejection gate's out-of-domain signal."""
+        data = "\x01".join(_tokenize(query)).encode("utf-8")
+        return float(self._lib.bm25_unseen_mass(self._h, data, len(data)))
 
     def compile_all(self) -> int:
         """Build every term's read-optimized posting snapshot up front

@@ -59,6 +59,8 @@ class _Item:
     want_payload: bool = False
     rejection_cosine_floor: Optional[float] = None
     rejection_query_floor: Optional[float] = None
+    rejection_unseen_mass: Optional[float] = None
+    rejection_unseen_cos: Optional[float] = None
 
 
 def _deliver(pairs: List[Tuple[object, object]]) -> None:
@@ -149,6 +151,8 @@ class SearchBatcher:
         want_payload: bool = False,
         rejection_cosine_floor: Optional[float] = None,
         rejection_query_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
         afuture: Optional[object] = None,
         loop: Optional[object] = None,
     ) -> object:
@@ -169,6 +173,8 @@ class SearchBatcher:
             bool(use_reranker),
             rejection_cosine_floor,
             rejection_query_floor,
+            rejection_unseen_mass,
+            rejection_unseen_cos,
         )
         item = _Item(
             key=key,
@@ -179,6 +185,8 @@ class SearchBatcher:
             want_payload=want_payload,
             rejection_cosine_floor=rejection_cosine_floor,
             rejection_query_floor=rejection_query_floor,
+            rejection_unseen_mass=rejection_unseen_mass,
+            rejection_unseen_cos=rejection_unseen_cos,
             future=fut,
             loop=loop if afuture is not None else None,
         )
@@ -197,6 +205,8 @@ class SearchBatcher:
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
         rejection_query_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
     ):
         """Blocking search (call from executor threads)."""
         return self.submit(
@@ -205,6 +215,8 @@ class SearchBatcher:
             use_reranker=use_reranker,
             rejection_cosine_floor=rejection_cosine_floor,
             rejection_query_floor=rejection_query_floor,
+            rejection_unseen_mass=rejection_unseen_mass,
+            rejection_unseen_cos=rejection_unseen_cos,
         ).result()
 
     # ----- worker -----
@@ -416,6 +428,8 @@ class SearchBatcher:
                 batch[0].weights,
                 rejection_threshold=batch[0].rejection_threshold,
                 rejection_cosine_floor=batch[0].rejection_cosine_floor,
+                rejection_unseen_mass=batch[0].rejection_unseen_mass,
+                rejection_unseen_cos=batch[0].rejection_unseen_cos,
             )
             if pending is None:
                 # store empty or lane unsupported after all
@@ -456,6 +470,8 @@ class SearchBatcher:
                 it0.weights,
                 rejection_threshold=it0.rejection_threshold,
                 rejection_cosine_floor=it0.rejection_cosine_floor,
+                rejection_unseen_mass=it0.rejection_unseen_mass,
+                rejection_unseen_cos=it0.rejection_unseen_cos,
             )
             if pending is None:
                 self._execute_general(batch, top_k)
@@ -496,6 +512,8 @@ class SearchBatcher:
                     it0.weights,
                     rejection_threshold=0.0,
                     rejection_cosine_floor=0.0,
+                    rejection_unseen_mass=it0.rejection_unseen_mass,
+                    rejection_unseen_cos=it0.rejection_unseen_cos,
                 )
                 if pending is None:
                     self._execute_general(batch, top_k)
@@ -563,6 +581,8 @@ class SearchBatcher:
                 use_reranker=batch[0].use_reranker,
                 rejection_cosine_floor=batch[0].rejection_cosine_floor,
                 rejection_query_floor=batch[0].rejection_query_floor,
+                rejection_unseen_mass=batch[0].rejection_unseen_mass,
+                rejection_unseen_cos=batch[0].rejection_unseen_cos,
             )
         # non-hot lanes resolve to objects even under want_payload; the
         # HTTP layer falls back to json.dumps for those

@@ -199,6 +199,8 @@ class FastPathProtocol(asyncio.Protocol):
                 use_reranker=params["use_reranker"],
                 want_payload=True,
                 rejection_cosine_floor=params["rejection_cosine_floor"],
+                rejection_unseen_mass=params["rejection_unseen_mass"],
+                rejection_unseen_cos=params["rejection_unseen_cos"],
                 afuture=_SlotFuture(self, slot),
                 loop=self._loop,
             )

@@ -79,6 +79,8 @@ class AppContext:
         use_reranker: bool = True,
         rejection_cosine_floor: Optional[float] = None,
         rejection_query_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
     ):
         return self.batcher.search(
             query,
@@ -89,6 +91,8 @@ class AppContext:
             use_reranker=use_reranker,
             rejection_cosine_floor=rejection_cosine_floor,
             rejection_query_floor=rejection_query_floor,
+            rejection_unseen_mass=rejection_unseen_mass,
+            rejection_unseen_cos=rejection_unseen_cos,
         )
 
     def list_documents(self):
@@ -220,6 +224,20 @@ def parse_search_params(body: dict):
         return None, "invalid rejection_query_floor"
     if q_floor is not None and not math.isfinite(q_floor):
         return None, "invalid rejection_query_floor"
+    try:
+        um_mass = body.get("rejection_unseen_mass")
+        um_mass = None if um_mass is None else float(um_mass)
+    except (TypeError, ValueError):
+        return None, "invalid rejection_unseen_mass"
+    if um_mass is not None and not math.isfinite(um_mass):
+        return None, "invalid rejection_unseen_mass"
+    try:
+        um_cos = body.get("rejection_unseen_cos")
+        um_cos = None if um_cos is None else float(um_cos)
+    except (TypeError, ValueError):
+        return None, "invalid rejection_unseen_cos"
+    if um_cos is not None and not math.isfinite(um_cos):
+        return None, "invalid rejection_unseen_cos"
     return {
         "query": query,
         "top_k": top_k,
@@ -229,6 +247,8 @@ def parse_search_params(body: dict):
         "use_reranker": use_reranker,
         "rejection_cosine_floor": cos_floor,
         "rejection_query_floor": q_floor,
+        "rejection_unseen_mass": um_mass,
+        "rejection_unseen_cos": um_cos,
     }, None
 
 
@@ -269,6 +289,8 @@ def build_app(ctx: AppContext) -> web.Application:
                 want_payload=True,
                 rejection_cosine_floor=params["rejection_cosine_floor"],
                 rejection_query_floor=params["rejection_query_floor"],
+                rejection_unseen_mass=params["rejection_unseen_mass"],
+                rejection_unseen_cos=params["rejection_unseen_cos"],
                 afuture=fut,
                 loop=loop,
             )

@@ -106,6 +106,25 @@ TOOLS = [
                         "Default: server configuration."
                     ),
                 },
+                "rejection_unseen_mass": {
+                    "type": "number",
+                    "description": (
+                        "JOINT unseen-term gate: reject the query outright "
+                        "when the IDF-weighted share of its terms never "
+                        "seen by the indexed corpus is at least this, AND "
+                        "its best absolute dense cosine is at most "
+                        "rejection_unseen_cos. 0 disables. Default: server "
+                        "configuration."
+                    ),
+                },
+                "rejection_unseen_cos": {
+                    "type": "number",
+                    "description": (
+                        "Dense-cosine ceiling paired with "
+                        "rejection_unseen_mass (1.0 = mass-only rule). "
+                        "Default: server configuration."
+                    ),
+                },
             },
             "required": ["query"],
         },
@@ -246,6 +265,10 @@ class McpHandler:
             cos_floor = None if cos_floor is None else float(cos_floor)
             q_floor = args.get("rejection_query_floor")
             q_floor = None if q_floor is None else float(q_floor)
+            um_mass = args.get("rejection_unseen_mass")
+            um_mass = None if um_mass is None else float(um_mass)
+            um_cos = args.get("rejection_unseen_cos")
+            um_cos = None if um_cos is None else float(um_cos)
             raw_w = args.get("weights")
             if raw_w is not None and not isinstance(raw_w, dict):
                 raise ValueError("weights must be an object")
@@ -258,6 +281,8 @@ class McpHandler:
             rejection is not None and not math.isfinite(rejection)
         ) or (cos_floor is not None and not math.isfinite(cos_floor)) or (
             q_floor is not None and not math.isfinite(q_floor)
+        ) or (um_mass is not None and not math.isfinite(um_mass)) or (
+            um_cos is not None and not math.isfinite(um_cos)
         ):
             raise McpError(-32602, "Invalid params: non-finite number")
         diversity = min(max(diversity, 0.0), 1.0)
@@ -267,7 +292,7 @@ class McpHandler:
         try:
             results = self.ctx.search(
                 query, top_k, diversity, weights, rejection, use_reranker,
-                cos_floor, q_floor,
+                cos_floor, q_floor, um_mass, um_cos,
             )
         except Exception as e:  # noqa: BLE001
             return _text_result(f"Search error: {e}", is_error=True)

@@ -28,6 +28,8 @@ class RecordingEngine:
         use_reranker=True,
         rejection_cosine_floor=None,
         rejection_query_floor=None,
+        rejection_unseen_mass=None,
+        rejection_unseen_cos=None,
     ):
         with self.lock:
             self.batches.append(list(queries))

@@ -91,3 +91,25 @@ def test_limit_truncation():
     assert len(results) <= 3
     # the doc containing term3 must rank first
     assert results[0][0] == "c3"
+
+
+def test_unseen_mass_basics():
+    """IDF-weighted unseen-term mass: 0 on empty/fully-seen queries, 1 on
+    fully-novel queries, monotone in-between; duplicates count once."""
+    idx = LexicalIndex()
+    assert idx.unseen_mass("anything at all") == 0.0  # empty index
+    idx.add_chunk("c1", "alpha beta gamma retrieval engine")
+    idx.add_chunk("c2", "alpha delta gamma serving stack")
+    idx.add_chunk("c3", "alpha rankings over indexed corpora")
+    assert idx.unseen_mass("alpha gamma") == 0.0
+    assert idx.unseen_mass("zebra xylophone") == 1.0
+    # the unseen term carries the MAX idf, so it dominates a common term:
+    # "alpha" appears in every doc (df=3 of 3 -> idf clamps to 0), leaving
+    # ALL the weight on the unseen term
+    assert idx.unseen_mass("alpha zebra") == 1.0
+    part = idx.unseen_mass("beta zebra")  # beta df=1 of 3: positive idf
+    assert 0.0 < part < 1.0
+    # duplicates of an unseen term do not inflate the mass
+    assert idx.unseen_mass("beta zebra zebra zebra") == part
+    # sub-3-char tokens are filtered like the scorer's tokenize
+    assert idx.unseen_mass("a b") == 0.0

@@ -324,3 +324,63 @@ def test_reload_replaces_instead_of_duplicating(tmp_path):
     np.testing.assert_allclose(
         [r.score for r in res1], [r.score for r in res2], rtol=1e-6
     )
+
+
+def test_unseen_mass_gate_param(engine):
+    """JOINT unseen-term gate: a query whose informative terms the corpus
+    has never indexed returns NOTHING when the gate is armed (per-request
+    override), while an in-vocabulary query is untouched — in both the
+    object lane and the columnar hot lane."""
+    junk = "zebra xylophone quasar nebular"
+    gold = "quantum entanglement particle states"
+    assert engine.search(junk, 3)  # gate off: least-bad results come back
+    # pure-mass rule (cos ceiling 1.0 admits any cosine)
+    assert engine.search(
+        junk, 3, rejection_unseen_mass=0.5, rejection_unseen_cos=1.0
+    ) == []
+    kept = engine.search(
+        gold, 3, rejection_unseen_mass=0.5, rejection_unseen_cos=1.0
+    )
+    assert [r.chunk_id for r in kept] == [
+        r.chunk_id for r in engine.search(gold, 3)
+    ]
+    # a cosine ceiling BELOW the junk query's best pool cosine disarms the
+    # gate: good-cosine queries survive however novel their wording
+    best = max(r.embedding_score for r in engine.search(junk, 3))
+    assert engine.search(
+        junk, 3,
+        rejection_unseen_mass=0.5,
+        rejection_unseen_cos=best - 0.01,
+    )
+    # columnar hot lane applies the same gate at fetch time
+    pending = engine.dispatch_search(
+        [junk, gold], 3,
+        rejection_unseen_mass=0.5, rejection_unseen_cos=1.0,
+    )
+    col = engine.fetch_columnar(pending)
+    assert engine.results_from_columnar(col, 0) == []
+    assert [r.chunk_id for r in engine.results_from_columnar(col, 1)] == [
+        r.chunk_id for r in engine.search(gold, 3)
+    ]
+
+
+def test_unseen_mass_gate_env(tmp_path, monkeypatch):
+    """Env defaults arm the gate engine-wide; per-request override wins."""
+    monkeypatch.setenv("RAG_TPU_REJECTION_UNSEEN_MASS", "0.5")
+    monkeypatch.setenv("RAG_TPU_REJECTION_UNSEEN_COS", "1.0")
+    svc = EmbeddingService(HashEncoder(dim=DIM, model_name="fake-test-model"))
+    eng = RagEngine(str(tmp_path), svc, reranker=None)
+    eng.add_document("a.pdf", pdfgen.make_pdf(["Some words about gardens."]))
+    assert eng.search("zebra xylophone", 3) == []
+    assert eng.search("gardens words", 3)
+    # per-request disarm beats the env default
+    assert eng.search("zebra xylophone", 3, rejection_unseen_mass=0.0)
+
+
+def test_unseen_mass_gate_reranked_lane(engine_reranked):
+    """The gate empties junk queries in the reranked object lane too."""
+    junk = "zebra xylophone quasar nebular"
+    assert engine_reranked.search(junk, 3)
+    assert engine_reranked.search(
+        junk, 3, rejection_unseen_mass=0.5, rejection_unseen_cos=1.0
+    ) == []

@@ -228,3 +228,30 @@ def test_batcher_judge_payload_matches_object_json(engine):
             )
     finally:
         b.stop()
+
+
+def test_judged_lane_unseen_gate_matches_object_lane(engine):
+    """The JOINT unseen-term gate empties a never-indexed-vocabulary junk
+    query identically in the judged hot lane and the object lane, and the
+    hot lane skips the junk query's judge forward entirely (its slot row
+    is invalidated before prompts are built)."""
+    junk = "zebra xylophone quasar nebular"
+    queries = QUERIES + [junk]
+    obj = engine.search_batch(
+        queries, 3, GATE_W, use_reranker=True,
+        rejection_unseen_mass=0.75, rejection_unseen_cos=1.0,
+    )
+    assert obj[-1] == []
+    assert all(obj[qi] for qi in range(len(QUERIES)))
+    pending = engine.dispatch_search(
+        queries, 3, GATE_W,
+        rejection_threshold=0.0, rejection_cosine_floor=0.0,
+        rejection_unseen_mass=0.75, rejection_unseen_cos=1.0,
+    )
+    pj = engine.judge_columnar(pending, queries, weights=GATE_W)
+    # the junk query contributed no judge prompts
+    assert int(pj.flat_qi.max()) < len(QUERIES)
+    jc = engine.fetch_judged(pj)
+    for qi in range(len(QUERIES)):
+        _assert_result_parity(obj[qi], engine.results_from_judged(jc, qi))
+    assert engine.results_from_judged(jc, len(QUERIES)) == []

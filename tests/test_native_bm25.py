@@ -140,3 +140,39 @@ def test_unicode_casefold_contains_parity():
     ps = dict(py.score("σίσυφος", 5))
     ns = dict(nat.score("σίσυφος", 5))
     assert set(ps) == set(ns)
+
+
+def test_unseen_mass_parity():
+    """bm25_unseen_mass (C++) matches LexicalIndex.unseen_mass bit-close
+    on seen/unseen/mixed/unicode/empty queries."""
+    py, nat = _both()
+    for i, (cid, text) in enumerate(DOCS.items()):
+        py.add_chunk(cid, text)
+        nat.add_chunk(cid, text, slot=i)
+    queries = [
+        "alpha beta",
+        "zebra xylophone quasar",
+        "alpha zebra",
+        "beta delta unique vocabulary",
+        "numbers 12345 zebra",
+        "",
+        "ab",  # filtered to nothing
+        "Münchën naïve alpha",  # multibyte path
+    ]
+    for q in queries:
+        assert py.unseen_mass(q) == pytest.approx(
+            nat.unseen_mass(q), abs=1e-6
+        ), q
+
+
+def test_unseen_mass_tracks_mutation():
+    """df lookups follow add/remove: indexing a term drops it from the
+    unseen set, removing its only chunk restores it."""
+    py, nat = _both()
+    nat.add_chunk("c0", "alpha beta", slot=0)
+    assert nat.unseen_mass("zebra") == 1.0
+    nat.add_chunk("c1", "zebra stripes", slot=1)
+    assert nat.unseen_mass("zebra") == 0.0
+    nat.remove_chunk("c1")
+    assert nat.unseen_mass("zebra") == 1.0
+    del py
