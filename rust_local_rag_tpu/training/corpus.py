@@ -40,6 +40,39 @@ DEFAULT_PACKAGES = (
     "transformers",
 )
 
+# Packages RESERVED as the out-of-domain junk source for judge training
+# (train_reranker.py --junk-doc-frac): their docstring prose never joins
+# the training corpus, so crop-queries drawn from them are real technical
+# questions the corpus genuinely cannot answer — the serving rejection
+# case (near-domain junk like the dev split's DNS/Kubernetes questions),
+# in unlimited supply. The template banks in training/ood.py top out at
+# ~200 unique junk queries, which the judge memorizes over a 6k-step run
+# (the round-5 v13 diagnosis: the held-template probe leak GROWS with
+# training steps). Never add these to DEFAULT_PACKAGES; their wheel
+# READMEs are excluded from harvest_readmes for the same reason.
+JUNK_HOLDOUT_PACKAGES = (
+    "PIL",
+    "networkx",
+    "nltk",
+    "pydantic",
+    "pygame",
+    "seaborn",
+    "sympy",
+    "tornado",
+)
+
+# wheel (dist-info) names for JUNK_HOLDOUT_PACKAGES — PIL ships as pillow
+JUNK_HOLDOUT_WHEELS = (
+    "pillow",
+    "networkx",
+    "nltk",
+    "pydantic",
+    "pygame",
+    "seaborn",
+    "sympy",
+    "tornado",
+)
+
 _MIN_WORDS = 12
 _MAX_WORDS = 220
 _MIN_ALPHA_RATIO = 0.72
@@ -192,6 +225,7 @@ def harvest(
 def harvest_readmes(
     exclude_hashes: Optional[Set[str]] = None,
     already_seen: Optional[Set[str]] = None,
+    exclude_packages: Sequence[str] = JUNK_HOLDOUT_WHEELS,
 ) -> List[str]:
     """Authored-manual-style prose from wheel `*.dist-info/METADATA` files
     (every wheel embeds its project README in PyPI metadata).
@@ -221,6 +255,12 @@ def harvest_readmes(
         for path in sorted(
             glob.glob(os.path.join(root, "*.dist-info", "METADATA"))
         ):
+            # "<name>-<version>.dist-info" — skip junk-holdout wheels so
+            # their README prose cannot answer the doc-junk queries
+            dist = os.path.basename(os.path.dirname(path))
+            name = dist.split("-", 1)[0].lower().replace("_", "-")
+            if name in {p.lower() for p in exclude_packages or ()}:
+                continue
             try:
                 with open(path, encoding="utf-8", errors="ignore") as f:
                     text = f.read()

@@ -74,6 +74,20 @@ Two lessons are baked in from round-2 measurements:
   trade off over training steps: the v11 run read ood-hard 0.000/0.002 at
   step 1600 but 0.125 mean / 1.0 max by step 4800, and the leaked
   checkpoint reproduced the overlap on dev (junk yes-p median 0.733).
+* Junk must be UNMEMORIZABLE (v13 -> v14 lesson, round 5). The v13 run
+  (junk-hard + paraphrase 0.5, template junk only) showed the leak-vs-
+  steps trade is a DATA artifact: the template banks hold ~200 unique
+  junk queries, the model memorizes them mid-run, and the held-template
+  probe leak then GROWS (qmax mean 0.089 @1600 -> 0.296 @6000), forcing
+  selection onto an undertrained step-1600 checkpoint whose gold
+  calibration is too weak to gate with (dev sweep: hit 0.778 at every
+  threshold vs v7's 0.876 — the gate prunes gold). --junk-doc-frac
+  replaces half the junk pool with crop/paraphrase queries drawn from
+  JUNK_HOLDOUT_PACKAGES prose (training/corpus.py): real technical
+  questions the corpus cannot answer, in unlimited variety and in the
+  SAME style as gold queries, so the only learnable separator is
+  answerability itself. A doc-junk probe (reserved holdout paragraphs)
+  joins selection; the WORST register's leak counts.
 """
 
 from __future__ import annotations
@@ -112,6 +126,7 @@ class PromptPairBatcher:
         ood_frac: float = 0.0,
         junk_hard_frac: float = 0.5,
         paraphrase_frac: float = 0.0,
+        junk_pool: Optional[List[str]] = None,
     ):
         self.rng = np.random.default_rng(seed)
         self.seq_len = seq_len
@@ -153,9 +168,14 @@ class PromptPairBatcher:
         self._junk: List[str] = []
         self._junk_neighbors = None
         if ood_frac > 0:
-            from rust_local_rag_tpu.training.ood import junk_queries
+            if junk_pool is not None:
+                # caller-assembled mix (template banks + document-derived
+                # junk, --junk-doc-frac)
+                self._junk = list(junk_pool)
+            else:
+                from rust_local_rag_tpu.training.ood import junk_queries
 
-            self._junk = junk_queries(4096, seed=seed)
+                self._junk = junk_queries(4096, seed=seed)
             if junk_hard_frac > 0:
                 # v11 recipe: a junk "no" pair must look like what the
                 # serving gate actually scores — the junk query's TOP
@@ -377,6 +397,29 @@ class PromptPairBatcher:
         return tuple(np.stack(c) for c in cols)
 
 
+def _doc_junk_queries(pars: List[str], n: int, seed: int) -> List[str]:
+    """Junk queries synthesized from junk-holdout package prose: the same
+    crop distribution the positive queries use (3-13 word spans), half of
+    them paraphrase/question-framed — so the ONLY difference between a
+    junk query and a gold query is whether the corpus can answer it, not
+    style. Style-distinguishable junk is what the template banks gave the
+    judge, and the judge learned the style instead of the relation."""
+    from rust_local_rag_tpu.training.paraphrase import paraphrase
+
+    rng = np.random.default_rng(seed)
+    out: List[str] = []
+    while len(out) < n and pars:
+        p = pars[int(rng.integers(0, len(pars)))]
+        words = p.split()
+        qlen = int(rng.integers(3, 13))
+        start = int(rng.integers(0, max(len(words) - qlen, 1)))
+        q = " ".join(words[start : start + qlen])
+        if rng.random() < 0.5:
+            q = paraphrase(q, rng)
+        out.append(q)
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", help="pre-harvested paragraph file")
@@ -428,6 +471,16 @@ def main(argv: Optional[List[str]] = None) -> None:
         "mining.mine_junk_neighbors) instead of a random one — the pair "
         "the serving rejection gate actually scores (v11 recipe; 0 "
         "restores the v10-and-earlier random pairing)",
+    )
+    ap.add_argument(
+        "--junk-doc-frac", type=float, default=0.5,
+        help="within the --ood-frac junk pool, fraction of junk queries "
+        "synthesized as crop/paraphrase queries from JUNK_HOLDOUT_PACKAGES "
+        "prose (training/corpus.py) — real technical questions the corpus "
+        "genuinely cannot answer, in unlimited variety. The v13 diagnosis: "
+        "the ~200-unique template banks are memorized over a 6k-step run, "
+        "so the held-template probe leak GROWS with steps; document-derived "
+        "junk makes the junk class unmemorizable. 0 restores template-only",
     )
     ap.add_argument(
         "--readme-corpus", type=int, default=1,
@@ -527,11 +580,47 @@ def main(argv: Optional[List[str]] = None) -> None:
         if dense is None and args.dense_negatives == "on":
             raise SystemExit("--dense-negatives=on but no encoder asset")
 
+    junk_pool = None
+    doc_junk_probe_pars: Optional[List[str]] = None
+    if args.ood_frac > 0 and args.junk_doc_frac > 0:
+        from rust_local_rag_tpu.training.corpus import (
+            JUNK_HOLDOUT_PACKAGES,
+            normalized_hash,
+        )
+        from rust_local_rag_tpu.training.ood import junk_queries
+
+        jpars = harvest(
+            packages=list(JUNK_HOLDOUT_PACKAGES),
+            exclude_hashes=exclude,
+            max_paragraphs=24000,
+        )
+        train_hashes = {normalized_hash(p) for p in paragraphs}
+        jpars = [
+            p
+            for p in jpars
+            if normalized_hash(p) not in train_hashes
+            and len(p.split()) >= 16
+        ]
+        jrng = np.random.default_rng(args.seed + 777)
+        jorder = jrng.permutation(len(jpars))
+        probe_n = min(512, len(jpars) // 10)
+        doc_junk_probe_pars = [jpars[i] for i in jorder[:probe_n]]
+        doc_src = [jpars[i] for i in jorder[probe_n:]]
+        n_doc = int(4096 * args.junk_doc_frac)
+        doc_junk = _doc_junk_queries(doc_src, n_doc, args.seed + 778)
+        junk_pool = junk_queries(4096 - n_doc, seed=args.seed) + doc_junk
+        print(
+            f"doc-junk: {len(doc_src)} holdout paragraphs -> {n_doc} "
+            f"train junk queries + {probe_n} probe paragraphs "
+            f"({4096 - n_doc} template junk)"
+        )
+
     batcher = PromptPairBatcher(
         train_pars, tokenizer, DEFAULT_PROMPT_TEMPLATE,
         seq_len=args.seq_len, seed=args.seed, dense_neighbors=dense,
         ood_frac=args.ood_frac, junk_hard_frac=args.junk_hard_frac,
         paraphrase_frac=args.paraphrase_frac,
+        junk_pool=junk_pool,
     )
     if dense is not None:
         # the dense table was mined over the SAME >=16-word filter the
@@ -590,6 +679,31 @@ def main(argv: Optional[List[str]] = None) -> None:
         if oodh_prompts:
             oodh_ids, oodh_mask = held._encode(oodh_prompts)
             oodh_qid_arr = np.asarray(oodh_qid)
+
+    # doc-junk HARD probe: crop queries from RESERVED junk-holdout
+    # paragraphs (never trained on) against their retrieved held
+    # passages — leak here means the judge learned the template banks'
+    # style, not the answerability relation
+    oodd_ids = oodd_mask = None
+    if doc_junk_probe_pars:
+        from rust_local_rag_tpu.training.mining import mine_junk_neighbors
+
+        djq = _doc_junk_queries(doc_junk_probe_pars, 192, seed=9991)
+        jtab2 = mine_junk_neighbors(
+            djq, held.paragraphs, n_bm25=7, n_dense=8
+        )
+        oodd_prompts = []
+        oodd_qid: List[int] = []
+        for r, jq in enumerate(djq):
+            cands = jtab2[r][jtab2[r] >= 0]
+            for j in cands:
+                oodd_prompts.append(
+                    held._prompt(jq, held.paragraphs[int(j)])
+                )
+                oodd_qid.append(r)
+        if oodd_prompts:
+            oodd_ids, oodd_mask = held._encode(oodd_prompts)
+            oodd_qid_arr = np.asarray(oodd_qid)
 
     cfg = RerankerConfig(
         vocab_size=tokenizer.vocab_size,
@@ -731,6 +845,19 @@ def main(argv: Optional[List[str]] = None) -> None:
                     f"med {float(np.median(qmax)):.3f} "
                     f"max {float(qmax.max()):.3f}"
                 )
+            oodd_mean = None
+            if oodd_ids is not None:
+                yp = _yes_p_sliced(params, oodd_ids, oodd_mask)
+                qmax = np.zeros(
+                    int(oodd_qid_arr.max()) + 1, dtype=np.float32
+                )
+                np.maximum.at(qmax, oodd_qid_arr, yp)
+                oodd_mean = float(qmax.mean())
+                ood_note += (
+                    f" doc-junk qmax mean {oodd_mean:.3f} "
+                    f"med {float(np.median(qmax)):.3f} "
+                    f"max {float(qmax.max()):.3f}"
+                )
             print(
                 f"step {done}: held-out pair acc {float(pa):.3f} "
                 f"cls acc {float(ca):.3f} | paraphrase pair "
@@ -745,13 +872,16 @@ def main(argv: Optional[List[str]] = None) -> None:
             # yes-p on retrieved junk pairs and a checkpoint that leaks
             # there is useless however well it orders.
             score = float(pa) + float(ppa) + 0.1 * float(ca)
-            if oodh_mean is not None:
+            leaks = [m for m in (oodh_mean, oodd_mean) if m is not None]
+            if leaks:
                 # weight 1.5: measured on the round-4 v11 run, the probe's
                 # leak tracks the dev rejection queries' leak superlinearly
                 # (probe mean 0.125 at step 4800 -> dev junk yes-p median
                 # 0.733; probe 0.000 at 1600 -> clean) and ranking gains
-                # of +0.04 pair acc never pay for a dead rejection gate
-                score += 1.5 * (1.0 - oodh_mean)
+                # of +0.04 pair acc never pay for a dead rejection gate.
+                # WORST register counts: serving junk arrives in both the
+                # template and the document register.
+                score += 1.5 * (1.0 - max(leaks))
             if score > best_acc:
                 best_acc = score
                 best_step = done
@@ -813,6 +943,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         np.maximum.at(qmax2, oodh_qid_arr, yp2)
         note2 += (
             f" ood-hard qmax mean {float(qmax2.mean()):.3f} "
+            f"med {float(np.median(qmax2)):.3f} max {float(qmax2.max()):.3f}"
+        )
+    if oodd_ids is not None:
+        yp2 = _yes_p_sliced(reloaded, oodd_ids, oodd_mask)
+        qmax2 = np.zeros(int(oodd_qid_arr.max()) + 1, dtype=np.float32)
+        np.maximum.at(qmax2, oodd_qid_arr, yp2)
+        note2 += (
+            f" doc-junk qmax mean {float(qmax2.mean()):.3f} "
             f"med {float(np.median(qmax2)):.3f} max {float(qmax2.max()):.3f}"
         )
     print(
