@@ -817,7 +817,14 @@ def main(argv: Optional[List[str]] = None) -> None:
                 f"({done / dt:.1f} steps/s)",
                 flush=True,
             )
-        if args.eval_every and (done % args.eval_every == 0 or done >= args.steps):
+        if args.eval_every and (
+            # fire on CROSSING each eval_every boundary: done advances in
+            # --scan increments, so an exact-divisibility test silently
+            # skips every intermediate eval (and with it checkpoint
+            # selection) when eval_every is not a multiple of scan
+            done // args.eval_every > (done - args.scan) // args.eval_every
+            or done >= args.steps
+        ):
             pa, ca = eval_metrics(params, eval_pi, eval_pm, eval_ni, eval_nm)
             ppa, pca = eval_metrics(
                 params, para_pi, para_pm, para_ni, para_nm
@@ -872,16 +879,23 @@ def main(argv: Optional[List[str]] = None) -> None:
             # yes-p on retrieved junk pairs and a checkpoint that leaks
             # there is useless however well it orders.
             score = float(pa) + float(ppa) + 0.1 * float(ca)
-            leaks = [m for m in (oodh_mean, oodd_mean) if m is not None]
-            if leaks:
+            if oodh_mean is not None:
                 # weight 1.5: measured on the round-4 v11 run, the probe's
                 # leak tracks the dev rejection queries' leak superlinearly
                 # (probe mean 0.125 at step 4800 -> dev junk yes-p median
                 # 0.733; probe 0.000 at 1600 -> clean) and ranking gains
-                # of +0.04 pair acc never pay for a dead rejection gate.
-                # WORST register counts: serving junk arrives in both the
-                # template and the document register.
-                score += 1.5 * (1.0 - max(leaks))
+                # of +0.04 pair acc never pay for a dead rejection gate
+                score += 1.5 * (1.0 - oodh_mean)
+            if oodd_mean is not None:
+                # half weight: the doc-junk register (same-style crop
+                # queries) is near-unsolvable for this model size and its
+                # probe value is NOISY (v14 run: 0.61 -> 0.74 bouncing
+                # while the template leak fell 0.19 -> 0.08); at full
+                # weight its noise dominates selection and picks an
+                # undertrained checkpoint. Its training-data role
+                # (unmemorizable junk keeping the template register
+                # honest) does not require its probe to drive selection.
+                score += 0.5 * (1.0 - oodd_mean)
             if score > best_acc:
                 best_acc = score
                 best_step = done
