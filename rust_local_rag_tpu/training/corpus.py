@@ -50,12 +50,18 @@ DEFAULT_PACKAGES = (
 # (the round-5 v13 diagnosis: the held-template probe leak GROWS with
 # training steps). Never add these to DEFAULT_PACKAGES; their wheel
 # READMEs are excluded from harvest_readmes for the same reason.
+# NEVER a package whose prose any eval corpus is built from: pygame is
+# EXCLUDED because the third-party eval split ingests pygame's bundled
+# API reference (eval_harness/thirdparty.py) — a judge taught "pygame
+# questions are unanswerable" would reject that split's gold queries.
 JUNK_HOLDOUT_PACKAGES = (
     "PIL",
+    "click",
+    "jinja2",
     "networkx",
     "nltk",
     "pydantic",
-    "pygame",
+    "rich",
     "seaborn",
     "sympy",
     "tornado",
@@ -64,10 +70,12 @@ JUNK_HOLDOUT_PACKAGES = (
 # wheel (dist-info) names for JUNK_HOLDOUT_PACKAGES — PIL ships as pillow
 JUNK_HOLDOUT_WHEELS = (
     "pillow",
+    "click",
+    "jinja2",
     "networkx",
     "nltk",
     "pydantic",
-    "pygame",
+    "rich",
     "seaborn",
     "sympy",
     "tornado",
