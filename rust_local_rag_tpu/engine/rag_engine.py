@@ -166,6 +166,12 @@ class PendingJudged:
     cos_floor: float            # dense-cosine floor (joint gate)
     q_floor: float              # query-level floor on the best judged yes-p
     init_w: float               # resolved initial-score blend weight
+    # deferred 3-way unseen gate (judge-rescue; __init__ note): applied in
+    # fetch_judged once the judged yes-p per row is known. None = off.
+    unseen: Optional[np.ndarray] = None
+    unseen_mass: float = 0.0
+    unseen_cos: float = 1.0
+    unseen_judge: float = 0.0
 
 
 @dataclass
@@ -392,6 +398,23 @@ class RagEngine:
             )
         except ValueError:
             self._rejection_unseen_cos = 1.0
+        # JUDGE-RESCUE term of the unseen gate (round 5, third signal):
+        # when > 0 and a judge scored the query's head, the unseen gate
+        # only fires if the query's MAX judged yes-probability is ALSO
+        # <= this value. Rationale (scripts/exp_gate_grid.py, v15 judge):
+        # paraphrase gold carries novel wording (high unseen mass) and
+        # middling cosine — the 2-way gate kills ~8% of dev gold at any
+        # rejection-reaching threshold — but the paraphrase-trained judge
+        # still recognizes the gold passage (qmax > 0.2), while junk
+        # fails all three signals at once. The 3-way rule moved the dev
+        # frontier from hit 0.804/rej 0.800 to 0.856/0.800. 0 = 2-way.
+        try:
+            self._rejection_unseen_judge = float(
+                _os.environ.get("RAG_TPU_REJECTION_UNSEEN_JUDGE", "0")
+                or 0.0
+            )
+        except ValueError:
+            self._rejection_unseen_judge = 0.0
         self.load_from_disk()
 
     # ----- lifecycle -------------------------------------------------------
@@ -593,6 +616,7 @@ class RagEngine:
         rejection_query_floor: Optional[float] = None,
         rejection_unseen_mass: Optional[float] = None,
         rejection_unseen_cos: Optional[float] = None,
+        rejection_unseen_judge: Optional[float] = None,
     ) -> List[SearchResult]:
         """Two-stage retrieval (rag_engine.rs:470-701)."""
         return self.search_batch(
@@ -605,6 +629,7 @@ class RagEngine:
             rejection_query_floor=rejection_query_floor,
             rejection_unseen_mass=rejection_unseen_mass,
             rejection_unseen_cos=rejection_unseen_cos,
+            rejection_unseen_judge=rejection_unseen_judge,
         )[0]
 
     def _unseen_gate(
@@ -700,6 +725,7 @@ class RagEngine:
         rejection_query_floor: Optional[float] = None,
         rejection_unseen_mass: Optional[float] = None,
         rejection_unseen_cos: Optional[float] = None,
+        rejection_unseen_judge: Optional[float] = None,
     ):
         """Batched two-stage retrieval: the whole query batch rides ONE
         fused first-stage device program and ONE batched rerank forward —
@@ -1010,6 +1036,18 @@ class RagEngine:
             for qi in range(nq)
         ]
         if um_rejected is not None:
+            um_judge = (
+                rejection_unseen_judge
+                if rejection_unseen_judge is not None
+                else self._rejection_unseen_judge
+            )
+            if um_judge > 0.0 and any(per_query_reranked):
+                # 3-way rule (judge-rescue, __init__ note): a confident
+                # judged yes anywhere in the head vetoes the unseen kill
+                for qi in range(nq):
+                    judged = [r.relevance for r in per_query_reranked[qi]]
+                    if judged and max(judged) > um_judge:
+                        um_rejected[qi] = False
             outputs = [
                 [] if um_rejected[qi] else outputs[qi] for qi in range(nq)
             ]
@@ -1411,11 +1449,30 @@ class RagEngine:
         rejection_threshold: Optional[float] = None,
         rejection_cosine_floor: Optional[float] = None,
         rejection_query_floor: Optional[float] = None,
+        rejection_unseen_mass: Optional[float] = None,
+        rejection_unseen_cos: Optional[float] = None,
+        rejection_unseen_judge: Optional[float] = None,
     ) -> "PendingJudged":
         """Phase 2 of the judge-gated lane: fetch the first stage, build
         judge prompts for every valid head row, and DISPATCH the batched
         judge forward without fetching it (the caller overlaps the judge's
         device time with serialization of other batches)."""
+        # Resolve the unseen gate HERE (the judged lane defers it past
+        # fetch_columnar): with judge-rescue off (c == 0) the 2-way kill
+        # applies immediately — junk then skips its judge forward — while
+        # c > 0 waits for the judged yes-p in fetch_judged.
+        um_judge = (
+            rejection_unseen_judge
+            if rejection_unseen_judge is not None
+            else self._rejection_unseen_judge
+        )
+        unseen, um_a, um_b = self._unseen_gate(
+            queries, rejection_unseen_mass, rejection_unseen_cos
+        )
+        if unseen is not None and um_judge <= 0.0 and pending.unseen is None:
+            pending.unseen = unseen
+            pending.unseen_mass = um_a
+            pending.unseen_cos = um_b
         col = self.fetch_columnar(pending)
         nq = pending.nq
         kk = col.slots.shape[1]
@@ -1475,6 +1532,10 @@ class RagEngine:
             cos_floor=max(cos_floor, 0.0),
             q_floor=max(q_floor, 0.0),
             init_w=resolved.initial,
+            unseen=unseen if um_judge > 0.0 else None,
+            unseen_mass=um_a,
+            unseen_cos=um_b,
+            unseen_judge=um_judge,
         )
 
     def fetch_judged(self, pj: "PendingJudged") -> "JudgedColumnar":
@@ -1495,6 +1556,28 @@ class RagEngine:
             no[pj.flat_qi, pj.flat_rank] = arr[:, 2]
         vals = col.vals[:nq]
         valid = (col.slots[:nq] >= 0) & np.isfinite(vals)
+        if pj.unseen is not None:
+            # 3-way unseen gate (judge-rescue, __init__ note): novel
+            # wording AND unimpressive cosine AND no confident judge yes
+            # anywhere in the head -> the query returns nothing
+            judged_max = np.max(
+                np.where(valid, rr, -np.inf), axis=1, initial=-np.inf
+            )
+            best_e = np.max(
+                np.where(valid, col.emb[:nq], -np.inf),
+                axis=1,
+                initial=-np.inf,
+            )
+            rejected = (
+                (pj.unseen[:nq] >= pj.unseen_mass)
+                & (best_e <= pj.unseen_cos)
+                & (judged_max <= pj.unseen_judge)
+            )
+            if rejected.any():
+                if not col.slots.flags.writeable:
+                    col.slots = np.array(col.slots)
+                col.slots[:nq][rejected] = -1
+                valid = valid & ~rejected[:, None]
         if pj.q_floor > 0.0:
             # QUERY-level rejection (engine __init__ note): a query whose
             # best judged yes-p over the whole head is below the floor
@@ -1700,6 +1783,7 @@ class RagEngine:
         rejection_query_floor: Optional[float] = None,
         rejection_unseen_mass: Optional[float] = None,
         rejection_unseen_cos: Optional[float] = None,
+        rejection_unseen_judge: Optional[float] = None,
     ) -> List[List[SearchResult]]:
         """Batched MMR-diversified search: one device pass for the pool
         retrieval of the whole batch, per-query MMR selection."""
@@ -1711,6 +1795,7 @@ class RagEngine:
             "rejection_query_floor": rejection_query_floor,
             "rejection_unseen_mass": rejection_unseen_mass,
             "rejection_unseen_cos": rejection_unseen_cos,
+            "rejection_unseen_judge": rejection_unseen_judge,
         }
         if diversity_factor == 0.0:
             return self.search_batch(queries, top_k, weights, **_kw)

@@ -61,6 +61,7 @@ class _Item:
     rejection_query_floor: Optional[float] = None
     rejection_unseen_mass: Optional[float] = None
     rejection_unseen_cos: Optional[float] = None
+    rejection_unseen_judge: Optional[float] = None
 
 
 def _deliver(pairs: List[Tuple[object, object]]) -> None:
@@ -153,6 +154,7 @@ class SearchBatcher:
         rejection_query_floor: Optional[float] = None,
         rejection_unseen_mass: Optional[float] = None,
         rejection_unseen_cos: Optional[float] = None,
+        rejection_unseen_judge: Optional[float] = None,
         afuture: Optional[object] = None,
         loop: Optional[object] = None,
     ) -> object:
@@ -175,6 +177,7 @@ class SearchBatcher:
             rejection_query_floor,
             rejection_unseen_mass,
             rejection_unseen_cos,
+            rejection_unseen_judge,
         )
         item = _Item(
             key=key,
@@ -187,6 +190,7 @@ class SearchBatcher:
             rejection_query_floor=rejection_query_floor,
             rejection_unseen_mass=rejection_unseen_mass,
             rejection_unseen_cos=rejection_unseen_cos,
+            rejection_unseen_judge=rejection_unseen_judge,
             future=fut,
             loop=loop if afuture is not None else None,
         )
@@ -207,6 +211,7 @@ class SearchBatcher:
         rejection_query_floor: Optional[float] = None,
         rejection_unseen_mass: Optional[float] = None,
         rejection_unseen_cos: Optional[float] = None,
+        rejection_unseen_judge: Optional[float] = None,
     ):
         """Blocking search (call from executor threads)."""
         return self.submit(
@@ -217,6 +222,7 @@ class SearchBatcher:
             rejection_query_floor=rejection_query_floor,
             rejection_unseen_mass=rejection_unseen_mass,
             rejection_unseen_cos=rejection_unseen_cos,
+            rejection_unseen_judge=rejection_unseen_judge,
         ).result()
 
     # ----- worker -----
@@ -512,12 +518,14 @@ class SearchBatcher:
                     it0.weights,
                     rejection_threshold=0.0,
                     rejection_cosine_floor=0.0,
-                    rejection_unseen_mass=it0.rejection_unseen_mass,
-                    rejection_unseen_cos=it0.rejection_unseen_cos,
                 )
                 if pending is None:
                     self._execute_general(batch, top_k)
                     return
+                # unseen-gate params ride judge_columnar, which applies
+                # the 2-way kill pre-judge (c == 0, junk skips its judge
+                # forward) or defers to the 3-way judge-rescue rule in
+                # fetch_judged (c > 0)
                 pj = self.engine.judge_columnar(
                     pending,
                     queries,
@@ -525,6 +533,9 @@ class SearchBatcher:
                     rejection_threshold=it0.rejection_threshold,
                     rejection_cosine_floor=it0.rejection_cosine_floor,
                     rejection_query_floor=it0.rejection_query_floor,
+                    rejection_unseen_mass=it0.rejection_unseen_mass,
+                    rejection_unseen_cos=it0.rejection_unseen_cos,
+                    rejection_unseen_judge=it0.rejection_unseen_judge,
                 )
                 jc = self.engine.fetch_judged(pj)
             except Exception:  # noqa: BLE001 — judge lane must degrade
@@ -583,6 +594,7 @@ class SearchBatcher:
                 rejection_query_floor=batch[0].rejection_query_floor,
                 rejection_unseen_mass=batch[0].rejection_unseen_mass,
                 rejection_unseen_cos=batch[0].rejection_unseen_cos,
+                rejection_unseen_judge=batch[0].rejection_unseen_judge,
             )
         # non-hot lanes resolve to objects even under want_payload; the
         # HTTP layer falls back to json.dumps for those

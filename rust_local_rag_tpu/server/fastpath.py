@@ -201,6 +201,7 @@ class FastPathProtocol(asyncio.Protocol):
                 rejection_cosine_floor=params["rejection_cosine_floor"],
                 rejection_unseen_mass=params["rejection_unseen_mass"],
                 rejection_unseen_cos=params["rejection_unseen_cos"],
+                rejection_unseen_judge=params["rejection_unseen_judge"],
                 afuture=_SlotFuture(self, slot),
                 loop=self._loop,
             )

@@ -81,6 +81,7 @@ class AppContext:
         rejection_query_floor: Optional[float] = None,
         rejection_unseen_mass: Optional[float] = None,
         rejection_unseen_cos: Optional[float] = None,
+        rejection_unseen_judge: Optional[float] = None,
     ):
         return self.batcher.search(
             query,
@@ -93,6 +94,7 @@ class AppContext:
             rejection_query_floor=rejection_query_floor,
             rejection_unseen_mass=rejection_unseen_mass,
             rejection_unseen_cos=rejection_unseen_cos,
+            rejection_unseen_judge=rejection_unseen_judge,
         )
 
     def list_documents(self):
@@ -238,6 +240,13 @@ def parse_search_params(body: dict):
         return None, "invalid rejection_unseen_cos"
     if um_cos is not None and not math.isfinite(um_cos):
         return None, "invalid rejection_unseen_cos"
+    try:
+        um_judge = body.get("rejection_unseen_judge")
+        um_judge = None if um_judge is None else float(um_judge)
+    except (TypeError, ValueError):
+        return None, "invalid rejection_unseen_judge"
+    if um_judge is not None and not math.isfinite(um_judge):
+        return None, "invalid rejection_unseen_judge"
     return {
         "query": query,
         "top_k": top_k,
@@ -249,6 +258,7 @@ def parse_search_params(body: dict):
         "rejection_query_floor": q_floor,
         "rejection_unseen_mass": um_mass,
         "rejection_unseen_cos": um_cos,
+        "rejection_unseen_judge": um_judge,
     }, None
 
 
@@ -291,6 +301,7 @@ def build_app(ctx: AppContext) -> web.Application:
                 rejection_query_floor=params["rejection_query_floor"],
                 rejection_unseen_mass=params["rejection_unseen_mass"],
                 rejection_unseen_cos=params["rejection_unseen_cos"],
+                rejection_unseen_judge=params["rejection_unseen_judge"],
                 afuture=fut,
                 loop=loop,
             )

@@ -125,6 +125,16 @@ TOOLS = [
                         "Default: server configuration."
                     ),
                 },
+                "rejection_unseen_judge": {
+                    "type": "number",
+                    "description": (
+                        "Judge-rescue term of the unseen gate: when > 0 "
+                        "and the judge runs, the gate only fires if the "
+                        "query's best judged yes-probability is also at "
+                        "most this. 0 = 2-way rule. Default: server "
+                        "configuration."
+                    ),
+                },
             },
             "required": ["query"],
         },
@@ -269,6 +279,8 @@ class McpHandler:
             um_mass = None if um_mass is None else float(um_mass)
             um_cos = args.get("rejection_unseen_cos")
             um_cos = None if um_cos is None else float(um_cos)
+            um_judge = args.get("rejection_unseen_judge")
+            um_judge = None if um_judge is None else float(um_judge)
             raw_w = args.get("weights")
             if raw_w is not None and not isinstance(raw_w, dict):
                 raise ValueError("weights must be an object")
@@ -283,7 +295,7 @@ class McpHandler:
             q_floor is not None and not math.isfinite(q_floor)
         ) or (um_mass is not None and not math.isfinite(um_mass)) or (
             um_cos is not None and not math.isfinite(um_cos)
-        ):
+        ) or (um_judge is not None and not math.isfinite(um_judge)):
             raise McpError(-32602, "Invalid params: non-finite number")
         diversity = min(max(diversity, 0.0), 1.0)
         use_reranker = args.get("use_reranker", True)
@@ -292,7 +304,7 @@ class McpHandler:
         try:
             results = self.ctx.search(
                 query, top_k, diversity, weights, rejection, use_reranker,
-                cos_floor, q_floor, um_mass, um_cos,
+                cos_floor, q_floor, um_mass, um_cos, um_judge,
             )
         except Exception as e:  # noqa: BLE001
             return _text_result(f"Search error: {e}", is_error=True)

@@ -88,10 +88,18 @@ def main() -> None:
     best_emb = np.max(np.where(valid, emb, -np.inf), axis=1)
     qmax_yes = np.max(np.where(valid, yes, -np.inf), axis=1)
 
-    def run(thr, qf, a, b):
+    def run(thr, qf, a, b, c=0.0):
         killed = np.zeros(nq, dtype=bool)
         if a > 0:
-            killed |= (mass >= a) & (best_emb <= b)
+            um_kill = (mass >= a) & (best_emb <= b)
+            if c > 0:
+                # 3-way rule: the unseen gate only fires when the judge
+                # ALSO found no confident yes anywhere in the head —
+                # paraphrase gold carries novel wording (high mass) and
+                # middling cosine, but the judge still recognizes its
+                # gold passage; junk fails all three signals at once
+                um_kill &= qmax_yes <= c
+            killed |= um_kill
         if qf > 0:
             killed |= qmax_yes < qf
         keep = valid & (yes >= thr) & ~killed[:, None]
@@ -110,29 +118,35 @@ def main() -> None:
     for thr in (0.0, 0.02, 0.03, 0.045, 0.06):
         for qf in (0.0, 0.03, 0.045, 0.06, 0.08, 0.1, 0.15):
             for a in (
-                0.0, 0.36, 0.38, 0.40, 0.42, 0.45, 0.50, 0.55, 0.60, 0.70
+                0.0, 0.30, 0.33, 0.36, 0.38, 0.40, 0.42, 0.45, 0.50,
+                0.55, 0.60, 0.70,
             ):
                 for b in (0.50, 0.55, 0.60, 0.65) if a > 0 else (1.0,):
-                    hit, rej = run(thr, qf, a, b)
-                    grid.append((hit, rej, thr, qf, a, b))
+                    for c in (
+                        (0.0, 0.06, 0.10, 0.15, 0.20, 0.30)
+                        if a > 0
+                        else (0.0,)
+                    ):
+                        hit, rej = run(thr, qf, a, b, c)
+                        grid.append((hit, rej, thr, qf, a, b, c))
 
     passing = [g for g in grid if g[0] >= 0.80 and g[1] >= 0.80]
     print(f"\n{len(passing)} configs pass hit>=0.80 AND rejection>=0.80")
-    for hit, rej, thr, qf, a, b in sorted(
+    for hit, rej, thr, qf, a, b, c in sorted(
         passing, key=lambda g: (-(g[0] + g[1]), -g[0])
-    )[:15]:
+    )[:20]:
         print(
             f"  hit {hit:.3f} rej {rej:.3f}  thr={thr:g} qf={qf:g} "
-            f"unseen=({a:g},{b:g})"
+            f"unseen=({a:g},{b:g},judge<={c:g})"
         )
     print("\npareto frontier (all configs):")
     seen_best = -1.0
-    for hit, rej, thr, qf, a, b in sorted(grid, key=lambda g: -g[0]):
+    for hit, rej, thr, qf, a, b, c in sorted(grid, key=lambda g: -g[0]):
         if rej > seen_best:
             seen_best = rej
             print(
                 f"  hit {hit:.3f} rej {rej:.3f}  thr={thr:g} qf={qf:g} "
-                f"unseen=({a:g},{b:g})"
+                f"unseen=({a:g},{b:g},judge<={c:g})"
             )
 
 

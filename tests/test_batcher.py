@@ -30,6 +30,7 @@ class RecordingEngine:
         rejection_query_floor=None,
         rejection_unseen_mass=None,
         rejection_unseen_cos=None,
+        rejection_unseen_judge=None,
     ):
         with self.lock:
             self.batches.append(list(queries))

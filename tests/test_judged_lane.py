@@ -255,3 +255,48 @@ def test_judged_lane_unseen_gate_matches_object_lane(engine):
     for qi in range(len(QUERIES)):
         _assert_result_parity(obj[qi], engine.results_from_judged(jc, qi))
     assert engine.results_from_judged(jc, len(QUERIES)) == []
+
+
+def test_unseen_gate_judge_rescue(engine):
+    """3-way unseen gate: a confident judged yes anywhere in the head
+    vetoes the unseen kill (paraphrase gold has novel wording but a
+    recognizable gold passage); with the rescue bar above every judged
+    yes-p the kill fires — identically in both lanes."""
+    junk = "zebra xylophone quasar nebular"
+    queries = QUERIES + [junk]
+    # measure the junk head's judged yes-p range through the object lane
+    base = engine.search_batch([junk], 3, GATE_W, use_reranker=True)[0]
+    assert base
+    ymax = max(r.reranker_score for r in base)
+    lo, hi = ymax - 0.01, ymax + 0.01
+
+    def both_lanes(c):
+        obj = engine.search_batch(
+            queries, 3, GATE_W, use_reranker=True,
+            rejection_unseen_mass=0.75, rejection_unseen_cos=1.0,
+            rejection_unseen_judge=c,
+        )
+        pending = engine.dispatch_search(
+            queries, 3, GATE_W,
+            rejection_threshold=0.0, rejection_cosine_floor=0.0,
+        )
+        pj = engine.judge_columnar(
+            pending, queries, weights=GATE_W,
+            rejection_unseen_mass=0.75, rejection_unseen_cos=1.0,
+            rejection_unseen_judge=c,
+        )
+        jc = engine.fetch_judged(pj)
+        hot = [
+            engine.results_from_judged(jc, qi) for qi in range(len(queries))
+        ]
+        return obj, hot
+
+    # rescue bar BELOW the head's best yes-p: the judge vetoes the kill
+    obj, hot = both_lanes(lo)
+    assert obj[-1] and hot[-1]
+    # rescue bar ABOVE every judged yes-p: the kill fires
+    obj, hot = both_lanes(hi)
+    assert obj[-1] == [] and hot[-1] == []
+    # in-vocabulary queries are untouched either way
+    for qi in range(len(QUERIES)):
+        assert obj[qi] and hot[qi]
