@@ -140,6 +140,27 @@ def test_config_from_yaml():
     assert cfg.page_tolerance == 15
 
 
+def test_baseline_search_params_parse_through_http_layer():
+    """Every search_params key the committed configs send must be
+    accepted by the server's request parser (the eval client forwards
+    them verbatim into the /search body) — and the flagship config must
+    ship the round-5 operating point: the 3-signal unseen gate with the
+    per-candidate judge floor OFF."""
+    from rust_local_rag_tpu.server.http_api import parse_search_params
+
+    for name in ("baseline", "baseline_heldout", "baseline_thirdparty"):
+        cfg = EvalConfig.from_yaml(f"eval_harness/configs/{name}.yaml")
+        body = {"query": "q", "top_k": cfg.top_k}
+        body.update(cfg.search_params or {})
+        params, err = parse_search_params(body)
+        assert err is None, (name, err)
+        assert params["rejection_unseen_mass"] == 0.35, name
+        assert params["rejection_unseen_cos"] == 0.6, name
+        assert params["rejection_unseen_judge"] == 0.2, name
+        assert params["rejection_threshold"] == 0.0, name
+        assert params["weights"] is not None, name
+
+
 # ----- full harness against a live server -----
 
 class _FakeClient:
